@@ -1,0 +1,51 @@
+"""SparkSession builders tuned for the CDC workload.
+
+Scale stance (SURVEY.md §4): at 10^10 events on a real cluster the
+same confs apply — AQE on (runtime re-plan + skew-join splitting),
+Arrow exchange on (all Python UDFs are vectorized), shuffle
+partitions sized to the parallelism level.  In the sandbox we run
+local[N]; N is also used to size shuffle partitions so the scaling
+benchmark (local[8] vs local[32]) exercises real parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "dipper_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # 2x cores: enough waves for AQE coalescing to matter without
+        # tiny-task overhead at sandbox scale. On a 1000-executor
+        # cluster this would be O(2 * total cores).
+        shuffle_partitions = max(2 * cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet scans: vectorized reader on (default, pinned explicitly)
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.driver.memory", os.environ.get("DIPPER_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def get_or_create(spark: SparkSession | None = None) -> SparkSession:
+    return spark if spark is not None else build_session()
