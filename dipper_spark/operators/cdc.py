@@ -1,0 +1,116 @@
+"""CDC dataflow operators: watermark, dedup, salted LWW collapse
+(SURVEY.md ops C5-C8, C12).
+
+The collapse is the engine's hot kernel.  Semantics (BASELINE.json
+north_star): per key (conv_id, turn_idx) the winner is the event with
+the lexicographic max (ts, lsn) tuple — "last-writer-wins resolved per
+key using event-time watermarks plus a (ts, log-sequence-number)
+max-ordering window".  lsn is unique, so the winner is unique, so the
+collapse is a pure function of the event SET — duplicates and
+arbitrary batch splits cannot change it.  That property (plus the
+(ts, lsn) guard in the merge, op C10) is what makes exact replay
+equality achievable.
+
+Scale design (10^10 events, SURVEY.md §4.2):
+  - Redelivered duplicates share their lsn, hence the same key AND the
+    same salt, so they land in the same phase-1 group and are absorbed
+    by max_by for free — the batch path needs NO separate
+    dropDuplicates shuffle.  Duplicate counts for lineage come from a
+    group-local count_distinct(lsn), also free.
+  - Hot-conversation skew: phase 1 groups by (key, salt) where
+    salt = xxhash64(lsn) % n_salts, splitting a hot key across
+    n_salts reducers; phase 2 re-aggregates the <= n_salts survivors
+    per key.  AQE's skew handling covers joins, not hot groupBy keys
+    feeding an ordered arg-max — hence explicit salting.
+  - Both phases ride Spark's partial/final HashAggregate, so map-side
+    combine already shrinks the shuffle before salt even matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import KEY_COLUMNS
+
+# Columns carried through the collapse to the merge.
+CARRY_COLUMNS = ["op", "ts", "lsn", "role", "text", "tool", "meta_tokens", "source", "source_offset"]
+
+
+def with_watermark(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Event-time watermark (op C5).  Bounds streaming state; the merge
+    guard keeps correctness watermark-independent (late events are
+    still applied iff their (ts, lsn) wins)."""
+    return df.withWatermark("ts", delay)
+
+
+def dedup_lsn(df: DataFrame, streaming: bool = False) -> DataFrame:
+    """Exact-duplicate dedup by lsn (op C6).
+
+    Streaming: cross-micro-batch dedup within the watermark (state
+    bounded by the watermark delay).  Batch: plain dropDuplicates.
+    The batch replay path deliberately does NOT call this — see module
+    docstring — it exists for the streaming stage and as a standalone
+    checked operator.
+    """
+    if streaming:
+        return df.dropDuplicatesWithinWatermark(["lsn"])
+    return df.dropDuplicates(["lsn"])
+
+
+def lww_collapse(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None) -> DataFrame:
+    """Two-stage salted LWW collapse (ops C7+C8).
+
+    Input: decoded valid events.  Output: exactly one row per touched
+    key with the winning event's columns plus per-key lineage counters:
+      n_events  - delivered events for this key (incl. duplicates)
+      n_unique  - distinct lsns for this key
+      is_delete - winner op == 'D'
+
+    Phase 1 groups by (key, salt(lsn)); phase 2 by key.  max_by
+    ordering tuple is struct(ts, lsn) — unique because lsn is unique.
+    """
+    carry = carry or [c for c in CARRY_COLUMNS if c in df.columns]
+    ordk = F.struct(F.col("ts"), F.col("lsn"))
+    val = F.struct(*[F.col(c) for c in carry])
+
+    phase1 = df.groupBy(
+        *KEY_COLUMNS,
+        F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salts)).alias("_salt"),
+    ).agg(
+        F.max_by(val, ordk).alias("_w"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count_distinct(F.col("lsn")).alias("_uniq"),
+    )
+
+    phase2 = phase1.groupBy(*KEY_COLUMNS).agg(
+        F.max_by(F.col("_w"), F.struct(F.col("_w.ts"), F.col("_w.lsn"))).alias("_w"),
+        F.sum("_cnt").alias("n_events"),
+        F.sum("_uniq").alias("n_unique"),
+    )
+
+    return phase2.select(
+        *KEY_COLUMNS,
+        *[F.col(f"_w.{c}").alias(c) for c in carry],
+        "n_events",
+        "n_unique",
+        (F.col("_w.op") == F.lit("D")).alias("is_delete"),
+    )
+
+
+def prune_absent_columns(collapsed: DataFrame, existing: set[str], candidates: tuple[str, ...] = ("tool", "meta_tokens")) -> DataFrame:
+    """Drop evolution-candidate columns that are entirely null in this
+    batch AND not yet part of the target schema (op C9 support).
+
+    This is what makes schema evolution data-driven: a v1-era stream
+    (payloads without `tool`/`meta`) creates a target WITHOUT those
+    columns; the first batch that actually carries values ADDs them.
+    Runs on the collapsed frame (<= one row per key), so the extra
+    aggregation pass is cheap.
+    """
+    check = [c for c in candidates if c in collapsed.columns and c not in existing]
+    if not check:
+        return collapsed
+    counts = collapsed.agg(*[F.count(F.col(c)).alias(c) for c in check]).first()
+    drop = [c for c in check if counts[c] == 0]
+    return collapsed.drop(*drop) if drop else collapsed

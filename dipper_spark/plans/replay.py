@@ -1,0 +1,73 @@
+"""Batch backfill / full replay (SURVEY.md op C15) — the benchmark path.
+
+Applies an entire changelog directory to a target table with the same
+kernel the streaming path uses per micro-batch:
+
+    scan (explicit schema, parquet)            -- no inference pass
+      -> decode_payload (from_json + Arrow UDF normalize)   [C3]
+      -> split_valid                                        [C4]
+      -> lww_collapse (salted two-stage argmax)             [C6-C8]
+      -> LocalCowTable.merge (CoW, (ts,lsn)-guarded)        [C9-C11]
+
+The whole replay is ONE Spark job chain: scan -> shuffle(key,salt) ->
+shuffle(key) -> join target -> write.  Duplicates need no separate
+dedup shuffle (see operators.cdc docstring).  `chunk_lsn` optionally
+splits the log into LSN ranges applied as separate batches — this
+exercises the multi-batch/idempotence path and bounds per-batch memory
+for very large backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import decode_payload, split_valid
+from ..operators.cdc import lww_collapse, prune_absent_columns
+from ..schemas import CHANGELOG_SCHEMA
+from .lineage import emit_lineage
+from .target import LocalCowTable, MergeStats
+
+
+def read_changelog(spark: SparkSession, log_path: str) -> DataFrame:
+    return spark.read.schema(CHANGELOG_SCHEMA).parquet(log_path)
+
+
+def replay(
+    spark: SparkSession,
+    log_path: str,
+    table_root: str,
+    n_salts: int = 8,
+    n_buckets: int = 32,
+    chunk_lsn: int | None = None,
+    lineage: bool = True,
+) -> tuple[LocalCowTable, list[MergeStats]]:
+    """Replay the full log; returns (table, per-batch merge stats)."""
+    table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
+    raw = read_changelog(spark, log_path)
+    decoded = decode_payload(raw)
+    ok, bad = split_valid(decoded)
+
+    ranges: list[tuple[int | None, int | None]]
+    if chunk_lsn:
+        hi = raw.agg(F.max("lsn")).first()[0] or 0
+        ranges = [(lo, min(lo + chunk_lsn - 1, hi)) for lo in range(1, hi + 1, chunk_lsn)]
+    else:
+        ranges = [(None, None)]
+
+    stats_all: list[MergeStats] = []
+    for bid, (lo, hi) in enumerate(ranges):
+        part = ok if lo is None else ok.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+        # Collapse to net-changes (<= 1 row/key) BEFORE anything eager;
+        # persist so the evolution probe + merge share one computation.
+        collapsed = lww_collapse(part, n_salts=n_salts).persist()
+        try:
+            existing = {f.name for f in (table.schema() or [])}
+            collapsed_p = prune_absent_columns(collapsed, existing)
+            st = table.merge(collapsed_p, batch_id=bid)
+        finally:
+            collapsed.unpersist()
+        if lineage and not st.skipped:
+            emit_lineage(table_root, st)
+        stats_all.append(st)
+    return table, stats_all

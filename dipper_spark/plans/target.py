@@ -1,0 +1,430 @@
+"""TargetTable — the lake table the change stream is applied to
+(SURVEY.md ops C9, C10, C11, C16, C17; design §7.3).
+
+Two backends with identical MERGE semantics:
+
+  * LocalCowTable — hash-bucketed parquet files + an atomically-swapped
+    JSON manifest.  This is Iceberg's copy-on-write MERGE reduced to
+    its essentials: data files are immutable, a commit is an atomic
+    metadata (manifest) replace, readers see either the old or the new
+    snapshot, and an embedded batch ledger makes `foreachBatch`
+    replays no-ops.  Fully exercised by the test suite.
+
+  * IcebergTable — the production backend (real `MERGE INTO` /
+    `DataFrame.mergeInto`, ALTER TABLE schema evolution, snapshot
+    commits).  The sandbox has no Iceberg runtime jar and no network
+    (SURVEY.md §0.3), so this class is thin and NOT testable here; it
+    documents exactly what runs on a real cluster.
+
+Merge rule (BASELINE.json north_star):
+  source row wins iff target key absent OR
+  struct(s.ts, s.lsn) > struct(t._op_ts, t._lsn)   -- (ts, lsn) max-order
+  winner op 'D' writes a TOMBSTONE (kept, hidden from snapshots) so a
+  staler event can never resurrect a deleted key -> the final state is
+  independent of micro-batch boundaries and of replay/redelivery.
+
+Scale notes (10^10 events / 100 TB):
+  - The target is bucketed by hash(conv_id); a merge touches only the
+    buckets its batch keys hash to, and the collapse (op C7/C8) has
+    already reduced events to <= one row per key, so the join input is
+    net-changes, not raw events.
+  - On Iceberg the same layout is `bucket(N, conv_id)` partitioning +
+    storage-partitioned joins; here the full-outer join shuffles both
+    sides on the key, which AQE sizes at runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections import defaultdict
+from dataclasses import dataclass
+from functools import reduce
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import KEY_COLUMNS, SPEC_COLUMNS
+
+SYSTEM_FIELDS = [
+    T.StructField("_op_ts", T.TimestampType(), True),
+    T.StructField("_lsn", T.LongType(), True),
+    T.StructField("_deleted", T.BooleanType(), True),
+]
+_NON_DATA = set(KEY_COLUMNS) | {c.name for c in SYSTEM_FIELDS} | {
+    "op", "lsn", "n_events", "n_unique", "is_delete", "source", "source_offset", "_bucket",
+}
+
+_WIDENINGS = {("integer", "long"), ("float", "double"), ("integer", "double")}
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+@dataclass
+class MergeStats:
+    batch_id: int
+    skipped: bool = False
+    rows_in: int = 0
+    rows_unique: int = 0
+    rows_applied: int = 0
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    conflicts: int = 0
+    max_lsn: int | None = None
+    offset_min: int | None = None
+    offset_max: int | None = None
+    wall_ms: int = 0
+
+
+class LocalCowTable:
+    """Hash-bucketed copy-on-write parquet table with atomic manifest commits."""
+
+    MANIFEST = "manifest.json"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------- manifest ----------------
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, n_buckets: int = 32) -> "LocalCowTable":
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t = cls(spark, root)
+        if not os.path.exists(t._manifest_path()):
+            t._write_manifest(
+                {
+                    "format_version": 1,
+                    "version": 0,
+                    "n_buckets": n_buckets,
+                    "schema": None,  # defined by the first applied batch
+                    "buckets": {},  # bucket id (str) -> [relative file paths]
+                    "ledger": [],  # [{batch_id, max_lsn, rows_applied, committed_at}]
+                }
+            )
+        return t
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, self.MANIFEST)
+
+    def _load(self) -> dict:
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _write_manifest(self, man: dict) -> None:
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+
+    # ---------------- schema ----------------
+    def schema(self) -> T.StructType | None:
+        s = self._load().get("schema")
+        return T.StructType.fromJson(s) if s else None
+
+    def ledger(self) -> list[dict]:
+        return self._load()["ledger"]
+
+    def _evolve_schema(self, man: dict, batch: DataFrame) -> T.StructType:
+        """Schema evolution, merge-on-write (op C9): ADD new columns,
+        widen int->long / float->double; reject narrowing or type
+        conflicts with a clear error.  Mirrors Iceberg's safe
+        promotions."""
+        incoming = [f for f in batch.schema.fields if f.name not in _NON_DATA]
+        if man["schema"] is None:
+            fields = (
+                [T.StructField("conv_id", T.StringType(), False),
+                 T.StructField("turn_idx", batch.schema["turn_idx"].dataType, False)]
+                + [T.StructField(f.name, f.dataType, True) for f in incoming]
+                + SYSTEM_FIELDS
+            )
+            return T.StructType(fields)
+        cur = T.StructType.fromJson(man["schema"])
+        by_name = {f.name: f for f in cur.fields}
+        out = list(cur.fields)
+        for f in incoming + [T.StructField("turn_idx", batch.schema["turn_idx"].dataType, False)]:
+            if f.name not in by_name:
+                # ADD COLUMN (old rows read as null)
+                out.insert(len(out) - len(SYSTEM_FIELDS), T.StructField(f.name, f.dataType, True))
+                by_name[f.name] = f
+                continue
+            have, new = by_name[f.name].dataType, f.dataType
+            if have == new:
+                continue
+            ht, nt = have.typeName(), new.typeName()
+            if (ht, nt) in _WIDENINGS:
+                i = next(i for i, x in enumerate(out) if x.name == f.name)
+                out[i] = T.StructField(f.name, new, out[i].nullable)
+            elif (nt, ht) in _WIDENINGS:
+                pass  # incoming is narrower: cast up at write, no evolution
+            else:
+                raise SchemaEvolutionError(
+                    f"incompatible type change for column {f.name!r}: {ht} -> {nt} "
+                    "(only int->long / float->double widening is allowed; "
+                    "renames/drops must be explicit)"
+                )
+        return T.StructType(out)
+
+    # ---------------- read ----------------
+    def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def _read_files(self, paths: list[str], schema: T.StructType) -> DataFrame:
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # Bucket files may carry different physical schemas after ADD/widen
+        # evolution (untouched buckets are never rewritten). Group by
+        # physical schema, conform each group to the logical schema, union.
+        groups: dict[str, list[str]] = defaultdict(list)
+        for p in paths:
+            groups[str(pq.read_schema(p))].append(p)
+        parts = [
+            self._conform(self.spark.read.parquet(*ps), schema) for ps in groups.values()
+        ]
+        return reduce(DataFrame.unionAll, parts)
+
+    def read(self, include_system: bool = True) -> DataFrame:
+        """Full current snapshot, system columns included (tombstones too)."""
+        man = self._load()
+        schema = T.StructType.fromJson(man["schema"]) if man["schema"] else T.StructType(
+            [T.StructField("conv_id", T.StringType(), False),
+             T.StructField("turn_idx", T.IntegerType(), False)] + SYSTEM_FIELDS
+        )
+        paths = [os.path.join(self.root, p) for fs in man["buckets"].values() for p in fs]
+        df = self._read_files(paths, schema)
+        return df if include_system else df.drop(*[f.name for f in SYSTEM_FIELDS])
+
+    def snapshot(self) -> DataFrame:
+        """Stable-order finalization (op C16): live rows, spec columns,
+        ordered by (conv_id, turn_idx)."""
+        df = self.read().filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        cols = [c for c in SPEC_COLUMNS if c in df.columns]
+        return df.select(*cols).orderBy(*KEY_COLUMNS)
+
+    # ---------------- merge (op C10 + ledger C11) ----------------
+    def merge(self, collapsed: DataFrame, batch_id: int) -> MergeStats:
+        """Apply one collapsed batch (<= 1 row per key, from op C7/C8)
+        idempotently.  Replayed batch_ids are skipped via the ledger;
+        even torn/partial replays are no-ops thanks to the (ts, lsn)
+        guard."""
+        t0 = time.monotonic()
+        man = self._load()
+        if any(e["batch_id"] == batch_id for e in man["ledger"]):
+            return MergeStats(batch_id=batch_id, skipped=True)
+
+        schema = self._evolve_schema(man, collapsed)
+        data_cols = [f.name for f in schema.fields
+                     if f.name not in KEY_COLUMNS and f.name not in {x.name for x in SYSTEM_FIELDS}]
+        nb = man["n_buckets"]
+        bucket_expr = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(nb)).cast("int")
+
+        # --- source side: conform to target schema, tombstone deletes ---
+        # NB: capture the ordering tuple (_op_ts from the event ts) BEFORE
+        # nulling data columns — tombstones must keep their (ts, lsn).
+        s = collapsed.withColumn(
+            "_op_ts", F.col("ts") if "ts" in collapsed.columns else F.lit(None).cast("timestamp")
+        )
+        for c in data_cols:
+            dt = schema[c].dataType
+            src = F.col(c).cast(dt) if c in s.columns else F.lit(None).cast(dt)
+            s = s.withColumn(c, F.when(F.col("is_delete"), F.lit(None).cast(dt)).otherwise(src))
+        s = (
+            s.withColumn("_lsn", F.col("lsn"))
+            .withColumn("_deleted", F.col("is_delete"))
+            .withColumn("turn_idx", F.col("turn_idx").cast(schema["turn_idx"].dataType))
+            .withColumn("_bucket", bucket_expr)
+        )
+        has_off = "source_offset" in collapsed.columns
+        keep = (KEY_COLUMNS + data_cols + ["_op_ts", "_lsn", "_deleted", "_bucket", "n_events", "n_unique"]
+                + (["source_offset"] if has_off else []))
+        s = s.select(*[c for c in keep if c in s.columns]).alias("s")
+
+        # --- touched buckets only (partition pruning by construction) ---
+        touched = sorted(r["_bucket"] for r in s.select("_bucket").distinct().collect())
+        paths = [os.path.join(self.root, p) for b in touched for p in man["buckets"].get(str(b), [])]
+        t = self._read_files(paths, schema).withColumn("_bucket", bucket_expr).alias("t")
+
+        joined = t.join(s, on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in KEY_COLUMNS], how="full_outer")
+        src_has = F.col("s._lsn").isNotNull()
+        tgt_has = F.col("t._lsn").isNotNull()
+        src_wins = src_has & (
+            ~tgt_has
+            | (F.struct(F.col("s._op_ts"), F.col("s._lsn")) > F.struct(F.col("t._op_ts"), F.col("t._lsn")))
+        )
+
+        pick = lambda c: F.when(src_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        out_cols = (
+            [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in KEY_COLUMNS]
+            + [pick(c) for c in data_cols]
+            + [pick("_op_ts"), pick("_lsn"), pick("_deleted")]
+            + [F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket")]
+        )
+        markers = [
+            src_wins.alias("_w"),
+            (src_wins & ~tgt_has & ~F.col("s._deleted")).alias("_ins"),
+            (src_wins & tgt_has & ~F.col("s._deleted")).alias("_upd"),
+            (src_wins & F.col("s._deleted")).alias("_del"),
+            (src_has & ~src_wins).alias("_conf"),
+            F.col("s.n_events").alias("_ne"),
+            F.col("s.n_unique").alias("_nu"),
+            F.col("s._lsn").alias("_slsn"),
+            (F.col("s.source_offset") if has_off else F.lit(None).cast("long")).alias("_soff"),
+        ]
+        merged = joined.select(*out_cols, *markers)
+
+        obs = Observation(f"merge_{batch_id}")
+        merged = merged.observe(
+            obs,
+            F.sum(F.col("_w").cast("long")).alias("applied"),
+            F.sum(F.col("_ins").cast("long")).alias("ins"),
+            F.sum(F.col("_upd").cast("long")).alias("upd"),
+            F.sum(F.col("_del").cast("long")).alias("dele"),
+            F.sum(F.col("_conf").cast("long")).alias("conf"),
+            F.sum("_ne").alias("rows_in"),
+            F.sum("_nu").alias("rows_uniq"),
+            F.max("_slsn").alias("max_lsn"),
+            F.min("_soff").alias("off_min"),
+            F.max("_soff").alias("off_max"),
+        )
+        final = merged.drop("_w", "_ins", "_upd", "_del", "_conf", "_ne", "_nu", "_slsn", "_soff")
+
+        # --- copy-on-write: rewrite touched buckets into fresh files ---
+        ver = man["version"] + 1
+        tmp = os.path.join(self.root, f"_tmp_b{batch_id}_{uuid.uuid4().hex[:8]}")
+        (
+            final.repartition(max(len(touched), 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
+        )
+        m = obs.get
+        new_buckets = dict(man["buckets"])
+        replaced: list[str] = []
+        for b in touched:
+            bdir = os.path.join(tmp, f"_bucket={b}")
+            rels = []
+            if os.path.isdir(bdir):
+                for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
+                    rel = os.path.join("data", f"b{b:05d}_v{ver}_{i}.parquet")
+                    os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
+                    rels.append(rel)
+            replaced += man["buckets"].get(str(b), [])
+            new_buckets[str(b)] = rels
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        man["version"] = ver
+        man["schema"] = schema.jsonValue()
+        man["buckets"] = new_buckets
+        man["ledger"].append(
+            {
+                "batch_id": batch_id,
+                "max_lsn": m["max_lsn"],
+                "rows_applied": int(m["applied"] or 0),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        self._write_manifest(man)  # <-- the atomic commit
+        for rel in replaced:  # GC superseded files (post-commit, crash-safe)
+            try:
+                os.remove(os.path.join(self.root, rel))
+            except OSError:
+                pass
+
+        return MergeStats(
+            batch_id=batch_id,
+            rows_in=int(m["rows_in"] or 0),
+            rows_unique=int(m["rows_uniq"] or 0),
+            rows_applied=int(m["applied"] or 0),
+            inserts=int(m["ins"] or 0),
+            updates=int(m["upd"] or 0),
+            deletes=int(m["dele"] or 0),
+            conflicts=int(m["conf"] or 0),
+            max_lsn=m["max_lsn"],
+            offset_min=m["off_min"],
+            offset_max=m["off_max"],
+            wall_ms=int((time.monotonic() - t0) * 1000),
+        )
+
+    # ---------------- maintenance (op C17) ----------------
+    def compact(self, drop_tombstones: bool = False) -> int:
+        """Rewrite every bucket into a single fresh file (CoW merge churn
+        produces small files). Optionally purge tombstones — only safe
+        once no staler events can still arrive (e.g. after a full
+        replay). Returns number of buckets rewritten."""
+        man = self._load()
+        if man["schema"] is None:
+            return 0
+        schema = T.StructType.fromJson(man["schema"])
+        ver = man["version"] + 1
+        nb = man["n_buckets"]
+        df = self.read()
+        if drop_tombstones:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        df = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(nb)).cast("int"))
+        tmp = os.path.join(self.root, f"_tmp_compact_{uuid.uuid4().hex[:8]}")
+        df.repartition(nb, "_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        old = [p for fs in man["buckets"].values() for p in fs]
+        new_buckets: dict[str, list[str]] = {}
+        for b in range(nb):
+            bdir = os.path.join(tmp, f"_bucket={b}")
+            rels = []
+            if os.path.isdir(bdir):
+                for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
+                    rel = os.path.join("data", f"b{b:05d}_v{ver}_{i}.parquet")
+                    os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
+                    rels.append(rel)
+            if rels:
+                new_buckets[str(b)] = rels
+        shutil.rmtree(tmp, ignore_errors=True)
+        man["version"] = ver
+        man["buckets"] = new_buckets
+        self._write_manifest(man)
+        for rel in old:
+            try:
+                os.remove(os.path.join(self.root, rel))
+            except OSError:
+                pass
+        return len(new_buckets)
+
+
+class IcebergTable:
+    """Production backend: real Iceberg MERGE INTO.
+
+    UNTESTED IN THIS SANDBOX: /opt/spark/jars has no iceberg runtime
+    and there is no network to fetch one (SURVEY.md §0.3/§7.3). The
+    implementation is the direct Iceberg translation of
+    LocalCowTable.merge and is kept thin on purpose; enable by
+    configuring a `spark.sql.catalog.<name>` Iceberg catalog.
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+
+    def merge(self, collapsed: DataFrame, batch_id: int) -> None:
+        src = collapsed.withColumn("_src_deleted", F.col("is_delete"))
+        src.createOrReplaceTempView("_dipper_src")
+        # (ts, lsn) max-order guard == LocalCowTable's src_wins predicate.
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t
+            USING _dipper_src s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND (s.ts, s.lsn) > (t._op_ts, t._lsn) AND s._src_deleted THEN DELETE
+            WHEN MATCHED AND (s.ts, s.lsn) > (t._op_ts, t._lsn) THEN UPDATE SET *
+            WHEN NOT MATCHED AND NOT s._src_deleted THEN INSERT *
+            """
+        )

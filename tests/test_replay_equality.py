@@ -1,0 +1,82 @@
+"""Golden final-state replay — the core invariant (SURVEY.md §5.1).
+
+Engine replay of a corrupted delivery (dups, bounded reorder, skew,
+deletes, re-inserts) must equal the single-threaded pandas oracle
+applied to the logical log: exact row equality on the six spec
+columns, ordered by (conv_id, turn_idx) — "per-turn text equality
+under stable turn ordering" (BASELINE.json input_hint).
+"""
+
+import pandas as pd
+import pytest
+
+from dipper_spark.plans.replay import replay
+from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
+from dipper_spark.testkit.oracle import SPEC_COLUMNS, apply_log_pandas, state_hash
+
+
+def _assert_equal(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
+    e = engine_df.reset_index(drop=True)
+    o = oracle_df.reset_index(drop=True)
+    assert len(e) == len(o), f"row count {len(e)} != oracle {len(o)}"
+    for c in SPEC_COLUMNS:
+        le, lo = e[c].tolist(), o[c].tolist()
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(le, lo)) if (a != b and not (pd.isna(a) and pd.isna(b)))]
+        assert not bad, f"column {c}: first mismatches {bad[:5]}"
+
+
+def _run(spark, tmp_path, spec: ChangelogSpec, **replay_kw):
+    log_dir = str(tmp_path / "log")
+    tbl_dir = str(tmp_path / "table")
+    logical, manifest = gen_changelog(log_dir, spec)
+    table, stats = replay(spark, log_dir, tbl_dir, **replay_kw)
+    engine = table.snapshot().toPandas()
+    oracle = apply_log_pandas(logical)
+    _assert_equal(engine, oracle)
+    return engine, oracle, manifest, stats
+
+
+def test_replay_defaults(spark, tmp_path):
+    eng, ora, man, stats = _run(spark, tmp_path, ChangelogSpec(n_conv=120, extra_rate=1.2))
+    assert man["n_dups"] > 0
+    assert state_hash(eng) == state_hash(ora)
+    st = stats[0]
+    assert st.rows_in == man["n_delivered"]
+    assert st.rows_in - (st.rows_unique) == man["n_dups"]
+
+
+def test_replay_heavy_dups_disorder(spark, tmp_path):
+    spec = ChangelogSpec(seed=7, n_conv=80, extra_rate=2.0, dup_rate=0.3,
+                         max_disorder_s=3600, shuffle_window=200)
+    _run(spark, tmp_path, spec)
+
+
+def test_replay_hot_skew(spark, tmp_path):
+    spec = ChangelogSpec(seed=11, n_conv=60, extra_rate=3.0, hot_frac=0.5)
+    _run(spark, tmp_path, spec, n_salts=16)
+
+
+def test_replay_chunked_matches_single(spark, tmp_path):
+    """Batch-boundary independence: applying the log in LSN chunks must
+    give the identical final state (tombstones + (ts,lsn) guard)."""
+    spec = ChangelogSpec(seed=3, n_conv=60, extra_rate=1.5, max_disorder_s=86400)
+    eng, ora, _, stats = _run(spark, tmp_path, spec, chunk_lsn=150)
+    assert len(stats) > 2
+
+
+def test_replay_idempotent_rerun(spark, tmp_path):
+    """Re-running the same replay (same batch ids) must be a no-op."""
+    spec = ChangelogSpec(seed=5, n_conv=40, extra_rate=1.0)
+    log_dir, tbl_dir = str(tmp_path / "log"), str(tmp_path / "table")
+    logical, _ = gen_changelog(log_dir, spec)
+    table, s1 = replay(spark, log_dir, tbl_dir)
+    table2, s2 = replay(spark, log_dir, tbl_dir)
+    assert all(s.skipped for s in s2)
+    _assert_equal(table2.snapshot().toPandas(), apply_log_pandas(logical))
+
+
+@pytest.mark.parametrize("n_salts", [1, 4, 32])
+def test_salting_invariance(spark, tmp_path, n_salts):
+    """The salt count must never change the result, only the shuffle shape."""
+    spec = ChangelogSpec(seed=13, n_conv=50, extra_rate=1.0, hot_frac=0.6)
+    _run(spark, tmp_path / str(n_salts), spec, n_salts=n_salts)
