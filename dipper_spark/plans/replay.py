@@ -64,7 +64,7 @@ def replay(
         try:
             existing = {f.name for f in (table.schema() or [])}
             collapsed_p = prune_absent_columns(collapsed, existing)
-            st = table.merge(collapsed_p, batch_id=bid)
+            st = table.merge(collapsed_p, batch_id=bid, scope=f"replay:{log_path}")
         finally:
             collapsed.unpersist()
         if lineage and not st.skipped:

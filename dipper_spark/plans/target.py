@@ -215,14 +215,15 @@ class LocalCowTable:
         return df.select(*cols).orderBy(*KEY_COLUMNS)
 
     # ---------------- merge (op C10 + ledger C11) ----------------
-    def merge(self, collapsed: DataFrame, batch_id: int) -> MergeStats:
+    def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default") -> MergeStats:
         """Apply one collapsed batch (<= 1 row per key, from op C7/C8)
-        idempotently.  Replayed batch_ids are skipped via the ledger;
-        even torn/partial replays are no-ops thanks to the (ts, lsn)
-        guard."""
+        idempotently.  A replayed (scope, batch_id) is skipped via the
+        ledger — `scope` identifies the run/checkpoint, because batch
+        ids restart at 0 under a fresh checkpoint; even torn/partial
+        replays are no-ops thanks to the (ts, lsn) guard."""
         t0 = time.monotonic()
         man = self._load()
-        if any(e["batch_id"] == batch_id for e in man["ledger"]):
+        if any(e["batch_id"] == batch_id and e.get("scope", "default") == scope for e in man["ledger"]):
             return MergeStats(batch_id=batch_id, skipped=True)
 
         schema = self._evolve_schema(man, collapsed)
@@ -331,6 +332,7 @@ class LocalCowTable:
         man["ledger"].append(
             {
                 "batch_id": batch_id,
+                "scope": scope,
                 "max_lsn": m["max_lsn"],
                 "rows_applied": int(m["applied"] or 0),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -53,6 +53,11 @@ def apply_log_pandas(log: pd.DataFrame) -> pd.DataFrame:
     frame is irrelevant — only (ts, lsn) ordering matters.
     """
     df = log.drop_duplicates(subset=["lsn"], keep="first")
+    if "pv" in df.columns:
+        # v1-era payloads carry no tool/meta keys on the wire — the
+        # engine decodes them as null; mirror that here.
+        df = df.copy()
+        df.loc[df["pv"] < 2, "tool"] = None
     df = df.sort_values(["ts", "lsn"], kind="mergesort")
     winners = df.groupby(["conv_id", "turn_idx"], sort=False).tail(1)
     final = winners[winners["op"] != "D"].copy()
