@@ -1,0 +1,107 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline workload:
+  * cdc_replay    — the engine's reason to exist: full changelog replay
+                    (generate excluded from timing) to exact final state;
+                    throughput recorded as events/s in `extra`.
+  * a relational suite over $SPARK_GRAFT_SF_DIR (scan/join/agg/window/
+    topk/cosine) — per-query wall seconds.
+
+`value` = total wall seconds of all timed queries (lower is better).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py -> BENCH/BASELINE.md, not here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+RELATIONAL = [
+    "agg_hash_group_q1",
+    "join_broadcast_dim",
+    "join_sort_merge",
+    "join_range_interval",
+    "agg_maxby_lww",
+    "agg_salted_skew",
+    "win_topk_per_group",
+    "sort_limit_topk",
+    "udf_pandas_scalar_norm",
+    "embedding_cosine_topk",
+    "dedup_exact_keep_first",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from dipper_spark.operators import relational, relational_ext  # noqa: F401
+    from dipper_spark.plans.replay import replay
+    from dipper_spark.session import build_session
+    from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = build_session("dipper-bench", cores=CPUS)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- flagship: CDC replay ---
+    n_conv = max(int(60000 * (sf if sf > 0 else 0.01)), 200)
+    work = tempfile.mkdtemp(prefix="dipper_bench_")
+    spec = ChangelogSpec(seed=42, n_conv=n_conv, extra_rate=1.2, hot_frac=0.3,
+                         dup_rate=0.05, n_chunks=8)
+    _, man = gen_changelog(os.path.join(work, "log"), spec)
+
+    t0 = time.monotonic()
+    table, stats = replay(spark, os.path.join(work, "log"), os.path.join(work, "table"),
+                          n_salts=16, n_buckets=2 * CPUS, lineage=False)
+    n_final = table.snapshot().count()
+    wall = time.monotonic() - t0
+    timings["cdc_replay"] = round(wall, 3)
+    extra["cdc_events"] = man["n_delivered"]
+    extra["cdc_events_per_sec"] = round(man["n_delivered"] / wall, 1)
+    extra["cdc_final_rows"] = n_final
+
+    # --- relational suite ---
+    from dipper_spark.operators.relational import QUERIES
+
+    for name in RELATIONAL:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        extra[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (cdc replay + relational), lower is better",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
