@@ -60,11 +60,17 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     # --- flagship: CDC replay ---
-    n_conv = max(int(60000 * (sf if sf > 0 else 0.01)), 200)
+    n_conv = max(int(1_200_000 * (sf if sf > 0 else 0.01)), 200)
     work = tempfile.mkdtemp(prefix="dipper_bench_")
     spec = ChangelogSpec(seed=42, n_conv=n_conv, extra_rate=1.2, hot_frac=0.3,
                          dup_rate=0.05, n_chunks=8)
     _, man = gen_changelog(os.path.join(work, "log"), spec)
+
+    # one-time JIT/codegen warm-up on a tiny log (excluded from timing,
+    # like session startup)
+    warm = ChangelogSpec(seed=1, n_conv=200, extra_rate=1.0)
+    gen_changelog(os.path.join(work, "warm"), warm)
+    replay(spark, os.path.join(work, "warm"), os.path.join(work, "warmtbl"), lineage=False)
 
     t0 = time.monotonic()
     table, stats = replay(spark, os.path.join(work, "log"), os.path.join(work, "table"),

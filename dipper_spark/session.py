@@ -35,6 +35,13 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep post-shuffle partitions small enough that Arrow-UDF stages
+        # retain parallelism (default 64m coalesces small stages onto
+        # 1-2 cores, serializing the Python workers)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # split parquet scans below one-file granularity (WAL chunk files
+        # carry multiple row groups)
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: vectorized reader on (default, pinned explicitly)

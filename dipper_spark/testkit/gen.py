@@ -305,7 +305,9 @@ def write_changelog(logical: pd.DataFrame, out_dir: str, spec: ChangelogSpec) ->
     for ci, rows in enumerate(chunks):
         path = os.path.join(out_dir, f"chunk_{ci:05d}.parquet")
         tbl = pa.Table.from_pandas(delivered.iloc[rows], schema=ENVELOPE_ARROW_SCHEMA, preserve_index=False)
-        pq.write_table(tbl, path)
+        # small row groups keep chunk files splittable -> scan parallelism
+        # is bounded by data size, not by the number of delivery files
+        pq.write_table(tbl, path, row_group_size=65536)
         files.append(path)
     manifest = {
         "n_events": int(n),
