@@ -98,19 +98,32 @@ def lww_collapse(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None
     )
 
 
-def prune_absent_columns(collapsed: DataFrame, existing: set[str], candidates: tuple[str, ...] = ("tool", "meta_tokens")) -> DataFrame:
+def normalize_winner_text(df: DataFrame) -> DataFrame:
+    """Apply the vectorized text normalization (op C3's UDF) to the
+    collapsed winners.  Post-collapse placement: normalization cannot
+    change which event wins — ordering is (ts, lsn) — so only the <=
+    one-row-per-key output crosses the Python boundary."""
+    from ..functions.normalize import nfc_strip
+
+    if "text" not in df.columns:
+        return df
+    return df.withColumn("text", nfc_strip(F.col("text")))
+
+
+def prune_absent_columns(df: DataFrame, existing: set[str], candidates: tuple[str, ...] = ("tool", "meta_tokens")) -> DataFrame:
     """Drop evolution-candidate columns that are entirely null in this
     batch AND not yet part of the target schema (op C9 support).
 
     This is what makes schema evolution data-driven: a v1-era stream
     (payloads without `tool`/`meta`) creates a target WITHOUT those
     columns; the first batch that actually carries values ADDs them.
-    Runs on the collapsed frame (<= one row per key), so the extra
-    aggregation pass is cheap.
+    The probe aggregates only the candidate columns, and the decode
+    projection is UDF-free, so Catalyst prunes everything else — the
+    probe never touches Python and runs as a bare scan+agg.
     """
-    check = [c for c in candidates if c in collapsed.columns and c not in existing]
+    check = [c for c in candidates if c in df.columns and c not in existing]
     if not check:
-        return collapsed
-    counts = collapsed.agg(*[F.count(F.col(c)).alias(c) for c in check]).first()
+        return df
+    counts = df.agg(*[F.count(F.col(c)).alias(c) for c in check]).first()
     drop = [c for c in check if counts[c] == 0]
-    return collapsed.drop(*drop) if drop else collapsed
+    return df.drop(*drop) if drop else df

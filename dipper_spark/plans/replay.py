@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.normalize import decode_payload, split_valid
-from ..operators.cdc import lww_collapse, prune_absent_columns
+from ..operators.cdc import lww_collapse, normalize_winner_text, prune_absent_columns
 from ..schemas import CHANGELOG_SCHEMA
 from .lineage import emit_lineage
 from .target import LocalCowTable, MergeStats
@@ -58,15 +58,13 @@ def replay(
     stats_all: list[MergeStats] = []
     for bid, (lo, hi) in enumerate(ranges):
         part = ok if lo is None else ok.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
-        # Collapse to net-changes (<= 1 row/key) BEFORE anything eager;
-        # persist so the evolution probe + merge share one computation.
-        collapsed = lww_collapse(part, n_salts=n_salts).persist()
-        try:
-            existing = {f.name for f in (table.schema() or [])}
-            collapsed_p = prune_absent_columns(collapsed, existing)
-            st = table.merge(collapsed_p, batch_id=bid, scope=f"replay:{log_path}")
-        finally:
-            collapsed.unpersist()
+        # Evolution probe first (UDF-free, column-pruned scan+agg; only
+        # ever scans when a candidate column is missing from the target),
+        # then one single-pass collapse -> normalize winners -> merge.
+        existing = {f.name for f in (table.schema() or [])}
+        pruned = prune_absent_columns(part, existing)
+        collapsed = normalize_winner_text(lww_collapse(pruned, n_salts=n_salts))
+        st = table.merge(collapsed, batch_id=bid, scope=f"replay:{log_path}")
         if lineage and not st.skipped:
             emit_lineage(table_root, st)
         stats_all.append(st)

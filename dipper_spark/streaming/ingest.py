@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.normalize import decode_payload, split_valid
-from ..operators.cdc import dedup_lsn, lww_collapse, prune_absent_columns, with_watermark
+from ..operators.cdc import (
+    dedup_lsn,
+    lww_collapse,
+    normalize_winner_text,
+    prune_absent_columns,
+    with_watermark,
+)
 from ..schemas import CHANGELOG_SCHEMA
 from ..plans.lineage import emit_lineage
 from ..plans.target import LocalCowTable, MergeStats
@@ -57,10 +63,18 @@ def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
         if fail_after is not None and len([s for s in stats_log if not s.skipped]) >= fail_after:
             raise RuntimeError(f"injected failure before batch {batch_id}")
         ok, bad = split_valid(decode_payload(batch_df))
-        collapsed = lww_collapse(ok, n_salts=n_salts).persist()
+        existing = {f.name for f in (table.schema() or [])}
+        pruned = prune_absent_columns(ok, existing)
+        # Persist + materialize the net-changes before merging: the merge
+        # plan then reads from the cache instead of the micro-batch source,
+        # which keeps the merge a plain batch execution (its Observation
+        # metrics don't fire on plans that still embed stateful streaming
+        # nodes, e.g. dropDuplicatesWithinWatermark).  Net-changes are
+        # <= one row per key, so the cache is small by construction.
+        collapsed = normalize_winner_text(lww_collapse(pruned, n_salts=n_salts)).persist()
         try:
-            existing = {f.name for f in (table.schema() or [])}
-            st = table.merge(prune_absent_columns(collapsed, existing), batch_id=batch_id, scope=scope)
+            collapsed.count()
+            st = table.merge(collapsed, batch_id=batch_id, scope=scope)
         finally:
             collapsed.unpersist()
         stats_log.append(st)

@@ -61,8 +61,11 @@ def apply_log_pandas(log: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(["ts", "lsn"], kind="mergesort")
     winners = df.groupby(["conv_id", "turn_idx"], sort=False).tail(1)
     final = winners[winners["op"] != "D"].copy()
-    for c in ("role", "text", "tool"):
-        final[c] = final[c].map(normalize_text)
+    # engine contract: free text -> NFC + strip (UDF); label columns ->
+    # space-trim (JVM btrim)
+    final["text"] = final["text"].map(normalize_text)
+    for c in ("role", "tool"):
+        final[c] = final[c].map(lambda s: s.strip(" ") if isinstance(s, str) else s)
     final = final[SPEC_COLUMNS].sort_values(["conv_id", "turn_idx"], ignore_index=True)
     final["turn_idx"] = final["turn_idx"].astype(np.int32)
     return final

@@ -76,7 +76,7 @@ def test_turn_idx_widening_int32_to_int64(spark, tmp_path):
     pq.write_table(tbl2, wide_dir + "/chunk_00000.parquet")
 
     from dipper_spark.functions.normalize import decode_payload, split_valid
-    from dipper_spark.operators.cdc import lww_collapse
+    from dipper_spark.operators.cdc import lww_collapse, normalize_winner_text
     from dipper_spark.schemas import CHANGELOG_SCHEMA
     import pyspark.sql.types as T
     wide_schema = T.StructType([
@@ -85,7 +85,7 @@ def test_turn_idx_widening_int32_to_int64(spark, tmp_path):
     ])
     raw = spark.read.schema(wide_schema).parquet(wide_dir)
     ok, _ = split_valid(decode_payload(raw))
-    st = table.merge(lww_collapse(ok), batch_id=99, scope="widen")
+    st = table.merge(normalize_winner_text(lww_collapse(ok)), batch_id=99, scope="widen")
     assert st.rows_applied > 0
     assert table.schema()["turn_idx"].dataType.typeName() == "long"
 
