@@ -251,7 +251,13 @@ class LocalCowTable:
         has_off = "source_offset" in collapsed.columns
         keep = (KEY_COLUMNS + data_cols + ["_op_ts", "_lsn", "_deleted", "_bucket", "n_events", "n_unique"]
                 + (["source_offset"] if has_off else []))
-        s = s.select(*[c for c in keep if c in s.columns]).alias("s")
+        # Persist the net-changes: they are <= one row per key by
+        # construction (op C7/C8), and they feed three consumers (the
+        # touched-bucket probe, the join, the write).  Without this the
+        # write job re-runs the whole scan->decode->collapse->UDF
+        # pipeline, and Observation metrics don't fire on plans that
+        # still embed streaming micro-batch sources.
+        s = s.select(*[c for c in keep if c in s.columns]).alias("s").persist()
 
         # --- touched buckets only (partition pruning by construction) ---
         touched = sorted(r["_bucket"] for r in s.select("_bucket").distinct().collect())
@@ -305,12 +311,15 @@ class LocalCowTable:
         # --- copy-on-write: rewrite touched buckets into fresh files ---
         ver = man["version"] + 1
         tmp = os.path.join(self.root, f"_tmp_b{batch_id}_{uuid.uuid4().hex[:8]}")
-        (
-            final.repartition(max(len(touched), 1), "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(tmp)
-        )
+        try:
+            (
+                final.repartition(max(len(touched), 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(tmp)
+            )
+        finally:
+            s.unpersist()
         m = obs.get
         new_buckets = dict(man["buckets"])
         replaced: list[str] = []

@@ -65,18 +65,12 @@ def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
         ok, bad = split_valid(decode_payload(batch_df))
         existing = {f.name for f in (table.schema() or [])}
         pruned = prune_absent_columns(ok, existing)
-        # Persist + materialize the net-changes before merging: the merge
-        # plan then reads from the cache instead of the micro-batch source,
-        # which keeps the merge a plain batch execution (its Observation
-        # metrics don't fire on plans that still embed stateful streaming
-        # nodes, e.g. dropDuplicatesWithinWatermark).  Net-changes are
-        # <= one row per key, so the cache is small by construction.
-        collapsed = normalize_winner_text(lww_collapse(pruned, n_salts=n_salts)).persist()
-        try:
-            collapsed.count()
-            st = table.merge(collapsed, batch_id=batch_id, scope=scope)
-        finally:
-            collapsed.unpersist()
+        # merge() persists the net-changes internally (bounded: <= one
+        # row per key), which both avoids recomputing the pipeline per
+        # consumer and keeps Observation metrics working on micro-batch
+        # plans with stateful nodes (dropDuplicatesWithinWatermark).
+        collapsed = normalize_winner_text(lww_collapse(pruned, n_salts=n_salts))
+        st = table.merge(collapsed, batch_id=batch_id, scope=scope)
         stats_log.append(st)
         if not st.skipped:
             emit_lineage(table.root, st)

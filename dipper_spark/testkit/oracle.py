@@ -86,13 +86,20 @@ def lineage_totals(log: pd.DataFrame) -> dict:
 
 
 def state_hash(final: pd.DataFrame) -> str:
-    """Order-insensitive sha256 of the final table (canonical strings).
+    """Order-insensitive sha256 of the final table (canonical strings,
+    fully vectorized — used at multi-million-row bench scale).
 
     Used by the benchmark to prove each run produced the real result.
     """
     df = final.sort_values(["conv_id", "turn_idx"])
-    parts = []
-    for r in df.itertuples(index=False):
-        ts = pd.Timestamp(r.ts).isoformat() if pd.notna(r.ts) else ""
-        parts.append(f"{r.conv_id}\x01{r.turn_idx}\x01{r.role or ''}\x01{r.text or ''}\x01{r.tool or ''}\x01{ts}")
-    return hashlib.sha256("\x02".join(parts).encode("utf-8")).hexdigest()
+    ts = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype("int64").astype(str)
+    ts = ts.where(df["ts"].notna(), "")
+    canon = (
+        df["conv_id"].astype(str)
+        + "\x01" + df["turn_idx"].astype(str)
+        + "\x01" + df["role"].fillna("")
+        + "\x01" + df["text"].fillna("")
+        + "\x01" + (df["tool"].fillna("") if "tool" in df.columns else "")
+        + "\x01" + ts
+    )
+    return hashlib.sha256("\x02".join(canon.tolist()).encode("utf-8")).hexdigest()
