@@ -41,7 +41,7 @@ def _cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dipper_spark.operators import relational, relational_ext  # noqa: F401  (registers)
+    from dipper_spark.operators import relational, relational_ext, relational_sim  # noqa: F401
 
     out = dict(relational.QUERIES)
     out["cdc_replay_snapshot"] = _cdc_replay_snapshot
@@ -49,6 +49,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from dipper_spark.operators import relational, relational_ext  # noqa: F401
+    from dipper_spark.operators import relational, relational_ext, relational_sim  # noqa: F401
 
     return dict(relational.ORACLES)

@@ -1,0 +1,102 @@
+"""Query registrations for similarity / near-dup / multimodal operators
+(training-data-pipeline surface).  Oracles where DuckDB can express the
+same computation; rows-only otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import multimodal as mm
+from ..functions import similarity as sim
+from .relational import load, q
+
+
+@q("dedup_ngram_jaccard_exact", """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) > 0.01
+""")
+def dedup_ngram_jaccard_exact(spark, d):
+    """Exact 3-gram Jaccard for all pairs of a small doc slice — the
+    ground-truth kernel the MinHash path approximates.  All-pairs is
+    only sane on a slice; the full-corpus path is LSH (below)."""
+    docs = load(spark, d, "documents").filter(F.col("doc_id") < 40)
+    sh = sim.shingles(docs)
+    pairs = (
+        sh.select(F.col("id").alias("id_a")).distinct()
+        .crossJoin(sh.select(F.col("id").alias("id_b")).distinct())
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return sim.exact_jaccard_pairs(sh, pairs).filter(F.col("jaccard") > 0.01)
+
+
+@q("dedup_minhash_lsh")  # rows-only: LSH banding has no SQL equivalent
+def dedup_minhash_lsh(spark, d):
+    """Full MinHash+LSH near-dup pipeline (shingle -> minhash -> band ->
+    bucket-join -> exact verify).  Deterministic (xxhash64 everywhere)."""
+    docs = load(spark, d, "documents")
+    out = sim.minhash_near_dups(docs, threshold=0.5)
+    return out.orderBy("id_a", "id_b")
+
+
+@q("dedup_minhash_signatures")  # rows-only (signature internals)
+def dedup_minhash_signatures(spark, d):
+    docs = load(spark, d, "documents").filter(F.col("doc_id") < 50)
+    sigs = sim.minhash_signatures(sim.shingles(docs), k=16)
+    return sigs.select("id", F.size("sig").alias("k"),
+                       F.element_at("sig", 1).alias("h0")).orderBy("id")
+
+
+@q("dedup_simhash")  # rows-only (bit-level fingerprint)
+def dedup_simhash(spark, d):
+    docs = load(spark, d, "documents").filter(F.col("doc_id") < 50)
+    return sim.simhash64(docs).orderBy("id")
+
+
+@q("multimodal_decode_meta", """
+SELECT doc_id,
+       CAST(strlen(text) * 7 % 640 + 1 AS INT) AS width,
+       CAST(strlen(text) * 13 % 480 + 1 AS INT) AS height,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0 THEN 'png'
+            WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format
+FROM documents
+""")
+def multimodal_decode_meta(spark, d):
+    """Binary-column decode plumbing: blob bytes -> typed metadata via
+    Arrow-batched mapInPandas (codec stubbed with a deterministic pure
+    function, so the oracle can verify the full data path)."""
+    docs = load(spark, d, "documents")
+    return mm.decode_image_meta(mm.attach_fake_blobs(docs))
+
+
+@q("multimodal_frame_sample", """
+SELECT doc_id, COUNT(*) AS n_frames_sampled
+FROM (
+  SELECT doc_id, UNNEST(range(0, strlen(text) % 300 + 1, 30)) AS frame_idx
+  FROM documents WHERE doc_id % 3 = 2
+) GROUP BY doc_id
+""")
+def multimodal_frame_sample(spark, d):
+    docs = load(spark, d, "documents")
+    frames = mm.frame_sample_plan(mm.attach_fake_blobs(docs), every_n=30)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames_sampled"))

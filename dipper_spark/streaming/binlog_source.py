@@ -1,0 +1,90 @@
+"""Custom binlog-tail source via the Python DataSource API (op C2).
+
+Models a *seekable* binlog/WAL server (the shape Kafka or a MySQL
+binlog endpoint exposes): the client asks "what is the latest offset",
+then reads [start, end) ranges and commits.  The broker here is a
+directory of LSN-ordered chunk files, but the reader never relies on
+Spark's file source — it tracks its own offsets {"chunk": i}, which is
+exactly what a socket-backed implementation would persist.
+
+Registration:
+    spark.dataSource.register(BinlogDataSource)
+    df = (spark.readStream.format("dipper_binlog")
+          .option("path", log_dir).load())
+
+Offsets live in the streaming checkpoint (initialOffset/latestOffset/
+commit), so resume-mid-stream works identically to the file source;
+the downstream ledger + (ts, lsn) merge guard provide exactly-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..schemas import CHANGELOG_SCHEMA
+
+
+class _ChunkRange(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class BinlogStreamReader(DataSourceStreamReader):
+    """Offset = {"chunk": <number of chunk files fully consumed>}."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dipper_binlog requires option 'path'")
+
+    def _chunks(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"chunk": 0}
+
+    def latestOffset(self) -> dict:
+        return {"chunk": len(self._chunks())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._chunks()
+        return [
+            _ChunkRange(os.path.join(self.path, files[i]))
+            for i in range(start["chunk"], min(end["chunk"], len(files)))
+        ] or [_ChunkRange("")]  # Spark requires >= 1 partition per batch
+
+    def read(self, partition: _ChunkRange):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        # Arrow -> python tuples at the source boundary; the heavy
+        # decode/normalize work stays downstream in vectorized form.
+        cols = [tbl.column(f.name).to_pylist() for f in CHANGELOG_SCHEMA.fields]
+        return iter(zip(*cols))
+
+    def commit(self, end: dict) -> None:
+        pass  # a socket-backed broker would ack offsets here
+
+
+class BinlogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dipper_binlog"
+
+    def schema(self):
+        return CHANGELOG_SCHEMA
+
+    def streamReader(self, schema):
+        return BinlogStreamReader(self.options)

@@ -1,0 +1,141 @@
+"""dipper_spark CLI — the spark-submit entry point (SURVEY.md §3).
+
+    spark-submit --py-files dipper_spark.zip main.py <command> ...
+
+Commands:
+  gen      --out DIR [--n-conv N] [--seed S] [...]      generate a changelog
+  replay   --log DIR --table DIR [--chunk-lsn N]        batch backfill (op C15)
+  ingest   --log DIR --table DIR --checkpoint DIR       streaming ingest (C1..C14)
+  snapshot --table DIR [--limit N]                      stable-order snapshot (C16)
+  compact  --table DIR [--drop-tombstones]              file compaction (C17)
+  lineage  --table DIR                                  show lineage records
+
+Packaging: `python main.py zip` writes dipper_spark.zip for --py-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(cores=None):
+    from dipper_spark.session import build_session
+
+    return build_session("dipper-cli", cores=cores)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="dipper_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-conv", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--extra-rate", type=float, default=1.2)
+    g.add_argument("--hot-frac", type=float, default=0.3)
+    g.add_argument("--dup-rate", type=float, default=0.05)
+    g.add_argument("--n-chunks", type=int, default=8)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--chunk-lsn", type=int, default=None)
+    r.add_argument("--n-salts", type=int, default=16)
+    r.add_argument("--n-buckets", type=int, default=64)
+    r.add_argument("--cores", type=int, default=None)
+
+    i = sub.add_parser("ingest")
+    i.add_argument("--log", required=True)
+    i.add_argument("--table", required=True)
+    i.add_argument("--checkpoint", required=True)
+    i.add_argument("--max-files-per-trigger", type=int, default=None)
+    i.add_argument("--stream-dedup", action="store_true")
+    i.add_argument("--continuous", action="store_true",
+                   help="keep tailing instead of availableNow")
+
+    s = sub.add_parser("snapshot")
+    s.add_argument("--table", required=True)
+    s.add_argument("--limit", type=int, default=20)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--drop-tombstones", action="store_true")
+
+    ln = sub.add_parser("lineage")
+    ln.add_argument("--table", required=True)
+
+    sub.add_parser("zip")
+
+    args = ap.parse_args()
+
+    if args.cmd == "zip":
+        root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dipper_spark")
+        out = "dipper_spark.zip"
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for base, _dirs, files in os.walk(root):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = os.path.join(base, fn)
+                        z.write(p, os.path.relpath(p, os.path.dirname(root)))
+        print(f"wrote {out}")
+        return
+
+    if args.cmd == "gen":
+        from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
+
+        _, man = gen_changelog(
+            args.out,
+            ChangelogSpec(seed=args.seed, n_conv=args.n_conv, extra_rate=args.extra_rate,
+                          hot_frac=args.hot_frac, dup_rate=args.dup_rate, n_chunks=args.n_chunks),
+        )
+        print(json.dumps({k: v for k, v in man.items() if k != "chunks"}))
+        return
+
+    spark = _spark(getattr(args, "cores", None))
+    if args.cmd == "replay":
+        from dipper_spark.plans.replay import replay
+
+        table, stats = replay(spark, args.log, args.table, n_salts=args.n_salts,
+                              n_buckets=args.n_buckets, chunk_lsn=args.chunk_lsn)
+        for st in stats:
+            print(json.dumps(st.__dict__))
+        print(json.dumps({"final_rows": table.snapshot().count()}))
+    elif args.cmd == "ingest":
+        from dipper_spark.streaming.ingest import ingest
+
+        table, query, stats = ingest(
+            spark, args.log, args.table, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            stream_dedup=args.stream_dedup,
+            available_now=not args.continuous,
+        )
+        if args.continuous:
+            query.awaitTermination()
+        for st in stats:
+            print(json.dumps(st.__dict__))
+    elif args.cmd == "snapshot":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        t.snapshot().show(args.limit, truncate=40)
+    elif args.cmd == "compact":
+        from dipper_spark.plans.target import LocalCowTable
+
+        n = LocalCowTable(spark, args.table).compact(drop_tombstones=args.drop_tombstones)
+        print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "lineage":
+        from dipper_spark.plans.lineage import read_lineage
+
+        read_lineage(spark, args.table).orderBy("batch_id").show(100, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Lineage reconciliation + streaming metrics (SURVEY.md §5, ops C13/C14)."""
+
+from dipper_spark.plans.lineage import MetricsListener, read_lineage
+from dipper_spark.plans.replay import replay
+from dipper_spark.streaming.ingest import ingest
+from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
+from dipper_spark.testkit.oracle import lineage_totals
+
+
+def test_lineage_reconciles_with_oracle(spark, tmp_path):
+    spec = ChangelogSpec(seed=41, n_conv=60, extra_rate=1.5, dup_rate=0.2)
+    logical, man = gen_changelog(str(tmp_path / "log"), spec)
+    table, stats = replay(spark, str(tmp_path / "log"), str(tmp_path / "tbl"))
+    lin = read_lineage(spark, str(tmp_path / "tbl")).toPandas()
+    totals = lineage_totals(logical)
+    assert len(lin) == 1
+    row = lin.iloc[0]
+    assert row["rows_in"] == man["n_delivered"]
+    assert row["rows_deduped"] == man["n_dups"]
+    # single-batch replay: every unique key applied exactly once
+    assert row["rows_applied"] == totals["keys_touched"]
+    # inserts+deletes partition the applied keys (empty target: each key
+    # becomes either a live insert or a tombstone insert)
+    assert row["inserts"] + row["deletes"] == totals["keys_touched"]
+    assert row["inserts"] == totals["final_rows"]
+    assert row["deletes"] == totals["final_deleted"]
+    assert row["conflicts"] == 0
+    assert row["offset_min"] is not None and row["offset_max"] is not None
+
+
+def test_lineage_multi_batch_conflicts(spark, tmp_path):
+    spec = ChangelogSpec(seed=43, n_conv=50, extra_rate=2.0, max_disorder_s=86400)
+    logical, man = gen_changelog(str(tmp_path / "log"), spec)
+    n = man["n_events"]
+    table, stats = replay(spark, str(tmp_path / "log"), str(tmp_path / "tbl"), chunk_lsn=n // 3 + 1)
+    lin = read_lineage(spark, str(tmp_path / "tbl")).toPandas()
+    assert len(lin) == len([s for s in stats if not s.skipped])
+    # with 1-day event-time disorder across LSN chunks, later batches
+    # must observe stale losers -> conflicts recorded
+    assert lin["rows_in"].sum() == man["n_delivered"]
+    assert lin["conflicts"].sum() > 0
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    spec = ChangelogSpec(seed=44, n_conv=30, extra_rate=1.0, n_chunks=3)
+    gen_changelog(str(tmp_path / "log"), spec)
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        table, query, stats = ingest(
+            spark, str(tmp_path / "log"), str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+    finally:
+        spark.streams.removeListener(listener)
+    s = listener.summary()
+    assert s["batches"] >= 3
+    assert s["input_rows"] > 0
+    assert all(p["num_input_rows"] >= 0 for p in listener.progress)

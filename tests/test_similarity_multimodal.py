@@ -1,0 +1,101 @@
+"""Similarity / near-dup / multimodal operators (training-data surface)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dipper_spark.functions import multimodal as mm
+from dipper_spark.functions import similarity as sim
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different words about spark shuffles and parquet files"),
+        (4, "another unrelated document mentioning watermarks and merges only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_jaccard_identity_and_neardup(spark):
+    docs = _docs(spark)
+    sh = sim.shingles(docs)
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a bigint, id_b bigint")
+    out = {(r.id_a, r.id_b): r.jaccard for r in sim.exact_jaccard_pairs(sh, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] == 0.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    dups = sim.minhash_near_dups(docs, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in dups}
+    assert (0, 1) in found and (0, 2) in found and (1, 2) in found
+    assert all(a < b for a, b in found)
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_minhash_deterministic(spark):
+    docs = _docs(spark)
+    s1 = sim.minhash_signatures(sim.shingles(docs), k=8).orderBy("id").collect()
+    s2 = sim.minhash_signatures(sim.shingles(docs), k=8).orderBy("id").collect()
+    assert [r.sig for r in s1] == [r.sig for r in s2]
+    # identical docs -> identical signatures
+    sigs = {r.id: r.sig for r in s1}
+    assert sigs[0] == sigs[1]
+
+
+def test_simhash_close_for_neardups(spark):
+    docs = _docs(spark)
+    fp = {r.id: r.simhash for r in sim.simhash64(docs).collect()}
+    assert fp[0] == fp[1]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 63) - 1)).count("1")
+
+    assert hamming(fp[0], fp[2]) < hamming(fp[0], fp[3])
+
+
+def test_multimodal_decode_roundtrip(spark):
+    docs = _docs(spark)
+    meta = mm.decode_image_meta(mm.attach_fake_blobs(docs)).orderBy("doc_id").toPandas()
+    texts = docs.orderBy("doc_id").toPandas()["text"]
+    assert (meta["n_bytes"] == texts.str.len()).all()
+    assert (meta["width"] == (texts.str.len() * 7 % 640 + 1)).all()
+    assert set(meta["format"]) <= {"png", "wav", "mp4"}
+    assert str(meta["width"].dtype) == "int32"
+
+
+def test_multimodal_stubs_raise_cleanly(spark):
+    import pytest
+
+    docs = _docs(spark)
+    blobs = mm.attach_fake_blobs(docs)
+    with pytest.raises(Exception, match="NotImplementedError|codec|ML runtime"):
+        mm.resize_stub(blobs, 64, 64).collect()
+
+
+def test_binlog_datasource_stream(spark, tmp_path):
+    """Custom Python DataSource (op C2): same changelog, own offsets."""
+    from dipper_spark.streaming.binlog_source import BinlogDataSource
+    from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
+
+    logical, man = gen_changelog(str(tmp_path / "log"), ChangelogSpec(seed=61, n_conv=20, extra_rate=0.5, n_chunks=3))
+    spark.dataSource.register(BinlogDataSource)
+    stream = (
+        spark.readStream.format("dipper_binlog")
+        .option("path", str(tmp_path / "log"))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("binlog_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("binlog_sink")
+    assert got.count() == man["n_delivered"]
+    assert got.select(F.count_distinct("lsn")).first()[0] == man["n_events"]
