@@ -41,7 +41,13 @@ def _cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dipper_spark.operators import relational, relational_ext, relational_sim  # noqa: F401
+    from dipper_spark.operators import (  # noqa: F401  (registration imports)
+        relational,
+        relational_ext,
+        relational_ext2,
+        relational_ext3,
+        relational_sim,
+    )
 
     out = dict(relational.QUERIES)
     out["cdc_replay_snapshot"] = _cdc_replay_snapshot
@@ -49,6 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from dipper_spark.operators import relational, relational_ext, relational_sim  # noqa: F401
+    from dipper_spark.operators import (  # noqa: F401  (registration imports)
+        relational,
+        relational_ext,
+        relational_ext2,
+        relational_ext3,
+        relational_sim,
+    )
 
     return dict(relational.ORACLES)

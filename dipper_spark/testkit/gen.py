@@ -231,26 +231,34 @@ def gen_logical_log(spec: ChangelogSpec) -> pd.DataFrame:
     return df
 
 
-def _encode_payload(row_role, row_text, row_tool, row_tokens, pv: int, op: str) -> str | None:
-    if op == "D":
-        return None
-    obj: dict = {"role": row_role, "text": row_text}
-    if pv >= 2:
-        if row_tool is not None:
-            obj["tool"] = row_tool
-        obj["meta"] = {"tokens": int(row_tokens)}
-    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+def _json_str(s: pd.Series) -> pd.Series:
+    """Vectorized JSON string literal: fast path for strings without
+    escapes (the overwhelming majority), json.dumps for the rest."""
+    s = s.astype(object)
+    out = '"' + s.fillna("") + '"'
+    needs = s.map(lambda x: isinstance(x, str) and any(c in x for c in '"\\') or
+                  (isinstance(x, str) and any(ord(c) < 0x20 for c in x)))
+    if needs.any():
+        out[needs] = s[needs].map(lambda x: json.dumps(x, ensure_ascii=False))
+    return out
 
 
 def to_envelope(logical: pd.DataFrame) -> pd.DataFrame:
-    """Logical log -> wire envelope (payload JSON-encoded)."""
-    payload = [
-        _encode_payload(r, t, tl, mk, pv, op)
-        for r, t, tl, mk, pv, op in zip(
-            logical["role"], logical["text"], logical["tool"],
-            logical["meta_tokens"], logical["pv"], logical["op"],
-        )
-    ]
+    """Logical log -> wire envelope (payload JSON-encoded, vectorized —
+    the per-row json.dumps loop was the 10^7-event generation
+    bottleneck)."""
+    role_j = _json_str(logical["role"])
+    text_j = _json_str(logical["text"])
+    tool_j = _json_str(logical["tool"])
+    has_tool = logical["tool"].notna() & (logical["pv"] >= 2)
+    v2 = logical["pv"] >= 2
+
+    payload = '{"role":' + role_j + ',"text":' + text_j
+    payload = payload + np.where(has_tool, ',"tool":' + tool_j, "")
+    payload = payload + np.where(
+        v2, ',"meta":{"tokens":' + logical["meta_tokens"].astype(str) + "}}", "}"
+    )
+    payload = pd.Series(payload, index=logical.index).where(logical["op"] != "D", None)
     return pd.DataFrame(
         {
             "lsn": logical["lsn"].astype(np.int64),

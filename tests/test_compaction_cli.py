@@ -1,0 +1,60 @@
+"""Compaction (op C17) + CLI packaging smoke."""
+
+import json
+import os
+import subprocess
+import sys
+
+from dipper_spark.plans.replay import replay
+from dipper_spark.plans.target import LocalCowTable
+from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
+from dipper_spark.testkit.oracle import apply_log_pandas, state_hash
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_compact_preserves_state(spark, tmp_path):
+    spec = ChangelogSpec(seed=71, n_conv=50, extra_rate=1.5)
+    logical, _ = gen_changelog(str(tmp_path / "log"), spec)
+    # chunked replay churns files (several versions per bucket)
+    table, _ = replay(spark, str(tmp_path / "log"), str(tmp_path / "tbl"), chunk_lsn=200)
+    before = state_hash(table.snapshot().toPandas())
+    man_before = table._load()
+    n = table.compact()
+    assert n > 0
+    after = state_hash(table.snapshot().toPandas())
+    assert after == before == state_hash(apply_log_pandas(logical))
+    # old files GC'd: every referenced file exists, version bumped
+    man = table._load()
+    assert man["version"] == man_before["version"] + 1
+    for fs in man["buckets"].values():
+        for rel in fs:
+            assert os.path.exists(os.path.join(str(tmp_path / "tbl"), rel))
+
+
+def test_compact_drop_tombstones(spark, tmp_path):
+    spec = ChangelogSpec(seed=72, n_conv=40, extra_rate=2.0)
+    logical, _ = gen_changelog(str(tmp_path / "log"), spec)
+    table, _ = replay(spark, str(tmp_path / "log"), str(tmp_path / "tbl"))
+    from pyspark.sql import functions as F
+
+    n_tomb = table.read().filter(F.col("_deleted")).count()
+    assert n_tomb > 0
+    before = state_hash(table.snapshot().toPandas())
+    table.compact(drop_tombstones=True)
+    assert table.read().filter(F.col("_deleted")).count() == 0
+    assert state_hash(table.snapshot().toPandas()) == before
+
+
+def test_cli_zip_and_gen(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "main.py", "zip"], cwd=REPO, capture_output=True, text=True, check=True
+    )
+    assert os.path.exists(os.path.join(REPO, "dipper_spark.zip"))
+    out = subprocess.run(
+        [sys.executable, "main.py", "gen", "--out", str(tmp_path / "log"), "--n-conv", "50"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    )
+    man = json.loads(out.stdout.strip().splitlines()[-1])
+    assert man["n_events"] > 0
+    assert os.path.exists(str(tmp_path / "log" / "chunk_00000.parquet"))
