@@ -110,16 +110,41 @@ def normalize_winner_text(df: DataFrame) -> DataFrame:
     return df.withColumn("text", nfc_strip(F.col("text")))
 
 
+# Key-position markers ("<key>":) — a bare '"tool"' would false-match
+# the VALUE of role="tool".  Compact-JSON producers (ours) always emit
+# the colon adjacent; for exotic producers the exact-count variant
+# below remains available.
+PAYLOAD_KEY_MARKERS = {"tool": '"tool":', "meta_tokens": '"meta":'}
+
+
+def absent_payload_columns(raw: DataFrame, existing: set[str],
+                           markers: dict[str, str] = PAYLOAD_KEY_MARKERS) -> list[str]:
+    """Evolution probe (op C9 support): which candidate columns are
+    certainly absent from this batch's payloads?
+
+    A JSON key must appear as a quoted string in any formatting, so
+    `payload NOT LIKE '%"tool"%'` across the batch proves the key is
+    absent — one substring scan over the raw strings, no JSON parse,
+    no Python.  (A text that merely *mentions* '"tool"' yields a false
+    keep: the column is added all-null — harmless.)  Only runs for
+    candidates not yet in the target schema, i.e. normally just the
+    first batch of a fresh/v1-era table.
+    """
+    check = {c: m for c, m in markers.items() if c not in existing}
+    if not check:
+        return []
+    agg = raw.agg(
+        *[F.max(F.coalesce(F.col("payload").contains(m), F.lit(False))).alias(c) for c, m in check.items()]
+    ).first()
+    return [c for c in check if not agg[c]]
+
+
 def prune_absent_columns(df: DataFrame, existing: set[str], candidates: tuple[str, ...] = ("tool", "meta_tokens")) -> DataFrame:
     """Drop evolution-candidate columns that are entirely null in this
     batch AND not yet part of the target schema (op C9 support).
 
-    This is what makes schema evolution data-driven: a v1-era stream
-    (payloads without `tool`/`meta`) creates a target WITHOUT those
-    columns; the first batch that actually carries values ADDs them.
-    The probe aggregates only the candidate columns, and the decode
-    projection is UDF-free, so Catalyst prunes everything else — the
-    probe never touches Python and runs as a bare scan+agg.
+    Exact variant (full count over the decoded columns); pipelines
+    prefer the cheap `absent_payload_columns` probe on the raw batch.
     """
     check = [c for c in candidates if c in df.columns and c not in existing]
     if not check:

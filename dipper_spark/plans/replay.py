@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.normalize import decode_payload, split_valid
-from ..operators.cdc import lww_collapse, normalize_winner_text, prune_absent_columns
+from ..operators.cdc import absent_payload_columns, lww_collapse, normalize_winner_text
 from ..schemas import CHANGELOG_SCHEMA
 from .lineage import emit_lineage
 from .target import LocalCowTable, MergeStats
@@ -57,13 +57,14 @@ def replay(
 
     stats_all: list[MergeStats] = []
     for bid, (lo, hi) in enumerate(ranges):
+        raw_part = raw if lo is None else raw.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
         part = ok if lo is None else ok.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
-        # Evolution probe first (UDF-free, column-pruned scan+agg; only
-        # ever scans when a candidate column is missing from the target),
-        # then one single-pass collapse -> normalize winners -> merge.
+        # Evolution probe: one substring scan over raw payloads (no JSON
+        # parse), and only while a candidate column is missing from the
+        # target; then one single-pass collapse -> normalize -> merge.
         existing = {f.name for f in (table.schema() or [])}
-        pruned = prune_absent_columns(part, existing)
-        collapsed = normalize_winner_text(lww_collapse(pruned, n_salts=n_salts))
+        absent = absent_payload_columns(raw_part, existing)
+        collapsed = normalize_winner_text(lww_collapse(part.drop(*absent) if absent else part, n_salts=n_salts))
         st = table.merge(collapsed, batch_id=bid, scope=f"replay:{log_path}")
         if lineage and not st.skipped:
             emit_lineage(table_root, st)

@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.normalize import decode_payload, split_valid
 from ..operators.cdc import (
+    absent_payload_columns,
     dedup_lsn,
     lww_collapse,
     normalize_winner_text,
-    prune_absent_columns,
     with_watermark,
 )
 from ..schemas import CHANGELOG_SCHEMA
@@ -64,7 +64,8 @@ def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
             raise RuntimeError(f"injected failure before batch {batch_id}")
         ok, bad = split_valid(decode_payload(batch_df))
         existing = {f.name for f in (table.schema() or [])}
-        pruned = prune_absent_columns(ok, existing)
+        absent = absent_payload_columns(batch_df, existing)
+        pruned = ok.drop(*absent) if absent else ok
         # merge() persists the net-changes internally (bounded: <= one
         # row per key), which both avoids recomputing the pipeline per
         # consumer and keeps Observation metrics working on micro-batch

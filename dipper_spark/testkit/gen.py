@@ -236,8 +236,7 @@ def _json_str(s: pd.Series) -> pd.Series:
     escapes (the overwhelming majority), json.dumps for the rest."""
     s = s.astype(object)
     out = '"' + s.fillna("") + '"'
-    needs = s.map(lambda x: isinstance(x, str) and any(c in x for c in '"\\') or
-                  (isinstance(x, str) and any(ord(c) < 0x20 for c in x)))
+    needs = s.astype("string").str.contains(r'["\\\x00-\x1f]', regex=True, na=False).to_numpy()
     if needs.any():
         out[needs] = s[needs].map(lambda x: json.dumps(x, ensure_ascii=False))
     return out

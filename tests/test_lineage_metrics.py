@@ -51,6 +51,13 @@ def test_streaming_metrics_listener(spark, tmp_path):
             spark, str(tmp_path / "log"), str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
             max_files_per_trigger=1,
         )
+        # listener delivery is async; give the bus time to drain
+        import time
+
+        for _ in range(40):
+            if len(listener.progress) >= 3:
+                break
+            time.sleep(0.25)
     finally:
         spark.streams.removeListener(listener)
     s = listener.summary()

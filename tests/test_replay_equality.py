@@ -16,8 +16,11 @@ from dipper_spark.testkit.oracle import SPEC_COLUMNS, apply_log_pandas, state_ha
 
 
 def _assert_equal(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
-    e = engine_df.reset_index(drop=True)
+    e = engine_df.reset_index(drop=True).copy()
     o = oracle_df.reset_index(drop=True)
+    for c in SPEC_COLUMNS:
+        if c not in e.columns:  # evolution column legitimately absent
+            e[c] = None
     assert len(e) == len(o), f"row count {len(e)} != oracle {len(o)}"
     for c in SPEC_COLUMNS:
         le, lo = e[c].tolist(), o[c].tolist()
