@@ -46,7 +46,7 @@ def udf_arrow_scalar(spark, d):
         from pyspark.sql.functions import arrow_udf
 
         @arrow_udf("string")
-        def head10(a: "pa.Array") -> "pa.Array":
+        def head10(a: pa.Array) -> pa.Array:
             return pc.utf8_upper(pc.utf8_slice_codeunits(a, 0, 10))
     except ImportError:  # pragma: no cover
         from pyspark.sql.functions import pandas_udf

