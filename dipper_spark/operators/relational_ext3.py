@@ -1,7 +1,9 @@
 """Remaining §2.2 surface: right outer join, ntile, Arrow-native scalar
-UDF, Python UDTF."""
+UDF, Python UDTF.
 
-from __future__ import annotations
+NB: no `from __future__ import annotations` here — arrow_udf resolves
+its eval type from REAL annotations; stringified ones are rejected.
+"""
 
 import pandas as pd
 from pyspark.sql import Window

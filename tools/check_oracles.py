@@ -65,6 +65,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from dipper_spark.operators import (  # noqa: F401  (registration imports)
+        relational,
+        relational_ext,
+        relational_ext2,
+        relational_ext3,
+        relational_sim,
+    )
     from dipper_spark.operators.relational import ORACLES, QUERIES
     from dipper_spark.session import build_session
 
