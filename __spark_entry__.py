@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational_ext,
         relational_ext2,
         relational_ext3,
+        relational_ext4,
         relational_sim,
     )
 
@@ -60,6 +61,7 @@ def oracle_sql() -> dict[str, str]:
         relational_ext,
         relational_ext2,
         relational_ext3,
+        relational_ext4,
         relational_sim,
     )
 

@@ -21,6 +21,7 @@ def registry():
         relational_ext,
         relational_ext2,
         relational_ext3,
+        relational_ext4,
         relational_sim,
     )
 

@@ -70,6 +70,7 @@ def main():
         relational_ext,
         relational_ext2,
         relational_ext3,
+        relational_ext4,
         relational_sim,
     )
     from dipper_spark.operators.relational import ORACLES, QUERIES
