@@ -171,7 +171,13 @@ def text_rolling_fingerprint(spark, d):
 
 # ------------------------------------------------ stateful streaming (C20) ---
 
-@q("stream_stateful_lww")  # rows-only: stateful processor, no SQL twin
+@q("stream_stateful_lww", """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
 def stream_stateful_lww(spark, d):
     """Per-key LWW kept in the state store across micro-batches via
     applyInPandasWithState (op C20) — the stateful alternative to the
