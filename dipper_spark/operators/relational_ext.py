@@ -36,9 +36,9 @@ def _run_stream(sdf, transform, mode="complete") -> DataFrame:
     return out.sparkSession.table(name)
 
 
-def _stream_events(spark, d):
-    # The file-stream source tails a DIRECTORY; stage the events file
-    # into one (cached per sf dir).
+def stage_events_dir(d: str) -> str:
+    """The file-stream source tails a DIRECTORY; stage the events file
+    into one (cached per sf dir).  Returns the staged directory."""
     import os
     import shutil
     import tempfile
@@ -49,10 +49,15 @@ def _stream_events(spark, d):
     if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
         os.makedirs(stage, exist_ok=True)
         shutil.copy(src, dst)
+    return stage
+
+
+def _stream_events(spark, d):
+    stage = stage_events_dir(d)
     batch = load(spark, d, "events")
     s = spark.readStream.schema(batch.schema).parquet(stage)
-    # parquet infers TIMESTAMP_NTZ; watermarks need TIMESTAMP (LTZ).
-    # The session runs UTC, so the cast is value-preserving.
+    # parquet infers TIMESTAMP_NTZ; watermarks need TIMESTAMP (LTZ);
+    # the cast is wall-clock-preserving for the value comparisons used.
     return s.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -184,11 +184,10 @@ def stream_stateful_lww(spark, d):
     merge-guard design, here over the events table keyed by user_id."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .relational_ext import stage_events_dir
+
     batch = load(spark, d, "events")
-    stage = os.path.join(tempfile.gettempdir(), "dipper_stream_stage",
-                         d.strip("/").replace("/", "_"))
-    if not os.path.isdir(stage):  # staged by relational_ext._stream_events
-        from .relational_ext import _stream_events  # noqa: F401
+    stage = stage_events_dir(d)
     stream = (
         spark.readStream.schema(batch.schema).parquet(stage)
         .withColumn("ts", F.col("ts").cast("timestamp"))
