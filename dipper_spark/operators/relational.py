@@ -200,11 +200,16 @@ def join_semi(spark, d):
 
 @q("join_anti", """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 """)
 def join_anti(spark, d):
+    # customers with no urgent order — non-empty at every sf (a
+    # customers-without-orders anti join passes vacuously with 0 rows)
     c, o = load(spark, d, "customer"), load(spark, d, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    return c.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
 
 
 @q("join_cross", """
@@ -395,12 +400,21 @@ def agg_maxby_lww(spark, d):
     )
 
 
-@q("agg_approx_distinct")  # tolerance check, no exact SQL equivalent
+@q("agg_approx_distinct", """
+SELECT COUNT(DISTINCT user_id) AS exact_users, CAST(1 AS BOOLEAN) AS approx_ok
+FROM events
+""")
 def agg_approx_distinct(spark, d):
+    """HLL sketch vs exact: the tolerance assertion (<= 5% rel. error)
+    is folded into the result as a boolean so the driver's exact hash
+    can check it — the sketch value itself is engine-specific."""
     e = load(spark, d, "events")
     return e.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("approx_ok"),
     )
 
 
@@ -541,14 +555,17 @@ def set_intersect(spark, d):
 
 
 @q("set_except", """
-SELECT c_custkey FROM customer
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """)
 def set_except(spark, d):
-    c = load(spark, d, "customer").select("c_custkey")
-    o = load(spark, d, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.subtract(o)  # EXCEPT (distinct) semantics, same as the SQL
+    # custkeys with open orders but no finished ones — non-empty at
+    # every sf (customer-minus-orders passes vacuously with 0 rows)
+    o = load(spark, d, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").select("o_custkey").subtract(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )  # EXCEPT (distinct) semantics, same as the SQL
 
 
 @q("set_union_byname", """
@@ -619,7 +636,7 @@ SELECT l_orderkey, l_linenumber,
        ABS(l_tax - 0.05) AS tax_delta,
        ROUND(POW(l_quantity, 2), 2) AS qty_sq,
        ROUND(LN(l_extendedprice), 4) AS ln_price,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS dec_price
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS dec_price
 FROM lineitem WHERE l_extendedprice > 0
 """)
 def fn_math_decimal(spark, d):
@@ -631,7 +648,9 @@ def fn_math_decimal(spark, d):
         F.abs(F.col("l_tax") - 0.05).alias("tax_delta"),
         F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
         F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("dec_price"),
+        # decimal round-trip stays under test; surfaced as double because
+        # the driver's value hash treats Decimal('x.00') != float x.0
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("dec_price"),
     )
 
 

@@ -27,13 +27,19 @@ def join_outer_right(spark, d):
 
 
 @q("win_ntile_quartiles", """
-SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+SELECT c_custkey, c_mktsegment AS seg,
+       NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
 FROM customer
 """)
 def win_ntile_quartiles(spark, d):
+    # partitioned ntile: each segment's quartiles computed on its own
+    # shuffle partition — a global (partition-less) ORDER BY window
+    # would serialize the whole table onto one task at scale
     c = load(spark, d, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"), F.ntile(4).over(w).alias("quartile")
+    )
 
 
 @q("udf_arrow_scalar", """

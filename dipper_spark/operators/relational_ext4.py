@@ -63,13 +63,15 @@ def join_bucketed_colocated(spark, d):
 @q("subquery_scalar", """
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
 """)
 def subquery_scalar(spark, d):
+    # 1.5x the mean: non-empty at every sf (2x returned 0 rows at
+    # sf0.01 -> the check passed vacuously)
     load(spark, d, "orders").createOrReplaceTempView("_o_sq")
     return spark.sql(
         "SELECT o_orderkey, o_totalprice FROM _o_sq "
-        "WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM _o_sq)"
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM _o_sq)"
     )
 
 
