@@ -1,0 +1,151 @@
+"""Approximate nearest neighbor over embedding columns — random-
+hyperplane LSH (SimHash for vectors), the scale path past the
+brute-force baseline in relational_ext.embedding_cosine_topk.
+
+Plan shape (the thing that matters at 10^9+ vectors):
+  1. signature pass  — P deterministic ±1 hyperplanes; bit_p =
+     sign(<v, r_p>), computed JVM-side with zip_with/aggregate over a
+     literal plane array (no Python, no UDF).
+  2. banding         — P bits split into `bands` keys of `rows` bits;
+     corpus emits (band, key) per vector, ONE row per band (explode).
+  3. bucket probe    — the query emits its own band keys plus, with
+     multiprobe=1, every key at Hamming distance 1 (flipping one bit
+     per band); candidates = corpus rows sharing any probed bucket.
+     The probe side is O(bands * (1 + rows)) rows -> always broadcast.
+  4. exact verify    — true cosine only for the candidate set, then
+     per-partition top-k (TakeOrderedAndProject).  No full-corpus
+     scan per query in the verify stage.
+
+Recall/probed tradeoff is the standard S-curve over the bit-agreement
+probability p = 1 - theta/pi.  NB the sandbox's synthetic embeddings
+are near-uniform (top-10 cosine ~0.35 vs bulk p99 ~0.29) — the
+worst case for ANY sublinear index — so defaults are tuned for recall
+(bands=4, rows=4, multiprobe=1 -> recall@10 = 1.0, ~80% probed,
+measured at sf0.001/0.01/0.1).  On corpora with real neighbor
+structure (near-dups at cosine >= 0.9) the same machinery with
+bands=2, rows=8 probes only a few percent — see
+tests/test_similarity_multimodal.py planted-neighbor test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ANN_SEED = 7  # fixed: signatures must be identical across runs/sessions
+
+
+def _planes(n_planes: int, dim: int, seed: int = ANN_SEED) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (seeded, engine-stable)."""
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim)).tolist()
+
+
+def dot_product(a, b):
+    """JVM-side dot product of two array columns (zip_with + aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_plane(vec, plane: list[float]):
+    return dot_product(vec, F.array(*[F.lit(x) for x in plane]))
+
+
+def signature_bits(df: DataFrame, vec_col: str, n_planes: int, dim: int,
+                   seed: int = ANN_SEED) -> DataFrame:
+    """Append `_bits: array<int>[n_planes]` — the hyperplane sign bits."""
+    planes = _planes(n_planes, dim, seed)
+    bits = F.array(*[(_dot_plane(F.col(vec_col), p) > 0).cast("int") for p in planes])
+    return df.withColumn("_bits", bits)
+
+
+def _band_key(bits, band: int, rows: int):
+    """Pack `rows` bits of one band into a single int key."""
+    key = F.lit(0)
+    for r in range(rows):
+        key = key + F.element_at(bits, band * rows + r + 1) * F.lit(1 << r)
+    return key
+
+
+def band_rows(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, key) — one row per (vector, band)."""
+    entries = F.array(*[
+        F.struct(F.lit(b).alias("band"), _band_key(F.col("_bits"), b, rows).alias("key"))
+        for b in range(bands)
+    ])
+    return (
+        sigs.select(F.col(id_col).alias("id"), F.explode(entries).alias("e"))
+        .select("id", "e.band", "e.key")
+    )
+
+
+def probe_rows(qsig: DataFrame, bands: int, rows: int, multiprobe: int = 1) -> DataFrame:
+    """(band, key) buckets the query probes: its own band keys plus,
+    with multiprobe=1, every single-bit flip of each band key.
+    O(bands * (1 + rows)) rows total — always broadcastable."""
+    probes = []
+    for b in range(bands):
+        base = _band_key(F.col("_bits"), b, rows)
+        probes.append(F.struct(F.lit(b).alias("band"), base.alias("key")))
+        if multiprobe >= 1:
+            for r in range(rows):
+                # flipping bit r toggles the 2^r term
+                bit = F.element_at(F.col("_bits"), b * rows + r + 1)
+                flipped = base - bit * F.lit(1 << r) + (1 - bit) * F.lit(1 << r)
+                probes.append(F.struct(F.lit(b).alias("band"), flipped.alias("key")))
+    return (
+        qsig.select(F.explode(F.array(*probes)).alias("p"))
+        .select("p.band", "p.key")
+        .distinct()
+    )
+
+
+def ann_cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 4,
+    rows: int = 4,
+    multiprobe: int = 1,
+    dim: int = 64,
+    seed: int = ANN_SEED,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH-bucketed cosine top-k.  `query` is a 1-row DataFrame with
+    `vec_col`.  Returns (topk: (id, cosine) ordered, candidates: (id)).
+
+    The corpus-side signature pass is one linear scan that would be
+    precomputed/materialized once per corpus in a real deployment
+    (signatures are query-independent); per query only the probed
+    buckets are verified."""
+    n_planes = bands * rows
+    csig = band_rows(signature_bits(corpus, vec_col, n_planes, dim, seed), id_col, bands, rows)
+    qsig = signature_bits(query, vec_col, n_planes, dim, seed)
+    probes = probe_rows(qsig, bands, rows, multiprobe)
+
+    candidates = (
+        csig.join(F.broadcast(probes), ["band", "key"])
+        .select("id")
+        .distinct()
+    )
+
+    qvec = query.select(F.col(vec_col).alias("_q"))
+    cand_vecs = corpus.join(
+        candidates, corpus[id_col] == candidates["id"]
+    ).select(corpus[id_col], F.col(vec_col)).crossJoin(F.broadcast(qvec))
+
+    cos = dot_product(F.col(vec_col), F.col("_q")) / (
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(dot_product(F.col("_q"), F.col("_q")))
+    )
+    topk = (
+        cand_vecs.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+    return topk, candidates

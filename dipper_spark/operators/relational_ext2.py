@@ -169,6 +169,36 @@ def text_rolling_fingerprint(spark, d):
     )
 
 
+@q("stream_binlog_tail")  # rows-only: engine-generated changelog, not a harness view
+def stream_binlog_tail(spark, d):
+    """Custom binlog source (op C2, Python DataSource API) end to end:
+    tail a seeded changelog through `dipper_binlog`, count delivered
+    events and distinct lsns.  Deterministic: ChangelogSpec(seed=11,
+    n_conv=120) always delivers the same events."""
+    from ..streaming.binlog_source import BinlogDataSource
+    from ..testkit.gen import ChangelogSpec, gen_changelog
+
+    work = os.path.join(tempfile.gettempdir(), "dipper_binlog_q")
+    if not os.path.exists(os.path.join(work, "_manifest.json")):
+        gen_changelog(work, ChangelogSpec(seed=11, n_conv=120, extra_rate=0.8, n_chunks=5))
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass  # already registered in this session
+    s = spark.readStream.format("dipper_binlog").option("path", work).load()
+    name = f"binlog_{uuid.uuid4().hex[:8]}"
+    qy = (
+        s.groupBy()
+        # distinct aggs are unsupported on streams; count + max(lsn) is
+        # an equally deterministic fingerprint of the delivered log
+        .agg(F.count(F.lit(1)).alias("n_delivered"), F.max("lsn").alias("max_lsn"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    qy.awaitTermination()
+    return spark.table(name)
+
+
 # ------------------------------------------------ stateful streaming (C20) ---
 
 @q("stream_stateful_lww", """

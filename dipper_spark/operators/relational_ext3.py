@@ -66,6 +66,59 @@ def udf_arrow_scalar(spark, d):
     return load(spark, d, "documents").select("doc_id", head10("text").alias("head10"))
 
 
+@q("udf_apply_in_arrow", """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 3) AS total
+FROM events GROUP BY event_type
+""")
+def udf_apply_in_arrow(spark, d):
+    """Grouped-map via the Arrow-native applyInArrow (pyspark 4) — the
+    pandas-free twin of udf_apply_in_pandas: whole group arrives as one
+    pa.Table, zero pandas conversion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_type(table: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "total": [round(pc.sum(table.column("value")).as_py(), 3)],
+            }
+        )
+
+    return (
+        load(spark, d, "events")
+        .groupBy("event_type")
+        .applyInArrow(per_type, "event_type string, n bigint, total double")
+    )
+
+
+@q("udtf_arrow", """
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_words
+FROM documents WHERE doc_id < 50
+""")
+def udtf_arrow(spark, d):
+    """PyArrow-native UDTF (@arrow_udtf, pyspark 4.1): eval receives a
+    whole RecordBatch, yields Tables — vectorized end to end, no
+    per-row Python and no pandas."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="doc_id bigint, n_words int")
+    class WordCounts:
+        def eval(self, batch: pa.RecordBatch):
+            words = pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+            )
+            yield pa.table(
+                {"doc_id": batch.column("doc_id"), "n_words": pc.list_value_length(words)}
+            )
+
+    docs = load(spark, d, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    return WordCounts(docs.asTable())
+
+
 @q("udtf_split_turns", """
 SELECT doc_id, seq, word FROM (
   SELECT doc_id, UNNEST(generate_series(1, least(len(string_split(text,' ')), 5))) AS seq,

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import ann
 from ..functions import multimodal as mm
 from ..functions import similarity as sim
 from .relational import load, q
@@ -70,6 +71,55 @@ def dedup_minhash_signatures(spark, d):
 def dedup_simhash(spark, d):
     docs = load(spark, d, "documents").filter(F.col("doc_id") < 50)
     return sim.simhash64(docs).orderBy("id")
+
+
+@q("ann_cosine_lsh", """
+SELECT 10 AS k, CAST(1 AS BOOLEAN) AS recall_ok, CAST(1 AS BOOLEAN) AS probed_lt_full
+""")
+def ann_cosine_lsh(spark, d):
+    """Hyperplane-LSH ANN vs exact brute force, as a driver-checkable
+    contract: recall@10 >= 0.8 AND candidates <= 90% of the corpus
+    (proving the verify stage is not a full scan).  The exact top-k it
+    is judged against is the same plan the oracle-verified
+    embedding_cosine_topk query uses.  Tolerances are folded into
+    booleans because a hash-compare can't express recall tolerance.
+
+    NB the synthetic embeddings are near-uniform — ANN's worst case —
+    so the probed fraction is high here by nature (~80%); the planted-
+    neighbor pytest shows the same operator probing only a few percent
+    when real neighbor structure exists."""
+    e = load(spark, d, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+
+    topk, cands = ann.ann_cosine_topk(corpus, query, k=10)
+
+    qvec = query.select(F.col("embedding").alias("_q"))
+    cos = ann.dot_product(F.col("embedding"), F.col("_q")) / (
+        F.sqrt(ann.dot_product(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(ann.dot_product(F.col("_q"), F.col("_q")))
+    )
+    exact = (
+        corpus.crossJoin(F.broadcast(qvec))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
+    )
+
+    n_hit = (
+        topk.select("vec_id").join(exact.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_corp = corpus.agg(F.count(F.lit(1)).alias("n_corp"))
+    return (
+        n_hit.crossJoin(n_cand).crossJoin(n_corp)
+        .select(
+            F.lit(10).alias("k"),
+            (F.col("n_hit") >= 8).alias("recall_ok"),
+            (F.col("n_cand") <= 0.9 * F.col("n_corp")).alias("probed_lt_full"),
+        )
+    )
 
 
 @q("multimodal_decode_meta", """
