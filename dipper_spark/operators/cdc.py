@@ -98,6 +98,68 @@ def lww_collapse(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None
     )
 
 
+def lww_collapse_slim(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None) -> DataFrame:
+    """Winner-lsn collapse (ops C7+C8, shuffle-lean variant).
+
+    Same output as `lww_collapse`, different data movement: the salted
+    two-stage argmax runs over (key, ts, lsn) ONLY — the shuffled rows
+    are ~30 bytes regardless of payload width — and the winning
+    payloads are then fetched with a semi-join of the source on the
+    winner lsn set (lsn is globally unique).  The final per-key
+    groupBy both absorbs redelivered copies of the winner AND leaves
+    the output hash-partitioned by key, which the downstream merge
+    join reuses (no re-shuffle).
+
+    vs `lww_collapse` at 10^10 events: that variant pushes the full
+    payload through both collapse shuffles; this one pushes (a) tiny
+    tuples through the salted phases, (b) only winner payloads
+    (<= one event per key, ~1/(1+extra_rate) of the log) through ONE
+    shuffle.  Cost: the source is scanned twice, but the first scan is
+    column-pruned to the key/ordering columns (Catalyst prunes the
+    from_json to the fields the validity filter needs), so it is
+    cheap relative to the shuffle bytes it saves.  The lsn semi-join
+    is left unhinted: AQE broadcasts the winner-lsn side when it is
+    small (sandbox scale) and falls back to a shuffle join when a
+    batch has too many keys to broadcast (10^9-key backfills).
+    """
+    carry = carry or [c for c in CARRY_COLUMNS if c in df.columns]
+    ordk = F.struct(F.col("ts"), F.col("lsn"))
+
+    # phase A: winner (ts, lsn) + lineage counters per key, tiny rows
+    keys = df.select(*KEY_COLUMNS, "ts", "lsn")
+    p1 = keys.groupBy(
+        *KEY_COLUMNS,
+        F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salts)).alias("_salt"),
+    ).agg(
+        F.max(ordk).alias("_w"),  # max of the struct IS the argmax here
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count_distinct(F.col("lsn")).alias("_uniq"),
+    )
+    p2 = p1.groupBy(*KEY_COLUMNS).agg(
+        F.max("_w").alias("_w"),
+        F.sum("_cnt").alias("n_events"),
+        F.sum("_uniq").alias("n_unique"),
+    )
+    counts = p2.select(*KEY_COLUMNS, "n_events", "n_unique")
+
+    # phase B: fetch winner payloads; a winner's redelivered duplicates
+    # share its lsn, so the semi-join returns copies — the groupBy
+    # collapses them and hash-partitions the result by key
+    win_ev = df.join(p2.select(F.col("_w.lsn").alias("lsn")), "lsn", "left_semi")
+    val = F.struct(*[F.col(c) for c in carry])
+    uniq = win_ev.groupBy(*KEY_COLUMNS).agg(F.max_by(val, ordk).alias("_w"))
+
+    # counts side arrives hash-partitioned by key from its own groupBy;
+    # this join needs no new exchange on either side
+    return uniq.join(counts, KEY_COLUMNS).select(
+        *KEY_COLUMNS,
+        *[F.col(f"_w.{c}").alias(c) for c in carry],
+        "n_events",
+        "n_unique",
+        (F.col("_w.op") == F.lit("D")).alias("is_delete"),
+    )
+
+
 def normalize_winner_text(df: DataFrame) -> DataFrame:
     """Apply the vectorized text normalization (op C3's UDF) to the
     collapsed winners.  Post-collapse placement: normalization cannot

@@ -233,14 +233,19 @@ def stream_stateful_lww(spark, d):
             if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                 best = cand
         state.update(best)
-        yield pd.DataFrame({"user_id": [key[0]], "last_event_id": [best[1]], "last_type": [best[2]]})
+        # emit the winning ts too: the sink-side rollup must reduce by
+        # the SAME (ts, event_id) ordering the state update uses — a
+        # max(event_id) rollup would pick the wrong winner whenever a
+        # later-ts winner has a smaller event_id across micro-batches
+        yield pd.DataFrame({"user_id": [key[0]], "ts_us": [best[0]],
+                            "last_event_id": [best[1]], "last_type": [best[2]]})
 
     name = f"lww_{uuid.uuid4().hex[:8]}"
     out = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
             lww,
-            outputStructType="user_id bigint, last_event_id bigint, last_type string",
+            outputStructType="user_id bigint, ts_us bigint, last_event_id bigint, last_type string",
             stateStructType="ts_us bigint, event_id bigint, event_type string",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -251,10 +256,10 @@ def stream_stateful_lww(spark, d):
         .outputMode("update").trigger(availableNow=True).start()
     )
     qy.awaitTermination()
-    # last update per key == the LWW winner
+    # reduce per key over (ts_us, event_id) — the LWW order itself
     res = spark.table(name)
-    w = F.struct(F.col("last_event_id"))
+    w = F.struct(F.col("ts_us"), F.col("last_event_id"))
     return res.groupBy("user_id").agg(
-        F.max("last_event_id").alias("last_event_id"),
+        F.max_by("last_event_id", w).alias("last_event_id"),
         F.max_by("last_type", w).alias("last_type"),
     )

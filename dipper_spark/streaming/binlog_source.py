@@ -68,11 +68,12 @@ class BinlogStreamReader(DataSourceStreamReader):
             return iter(())
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path)
-        # Arrow -> python tuples at the source boundary; the heavy
-        # decode/normalize work stays downstream in vectorized form.
-        cols = [tbl.column(f.name).to_pylist() for f in CHANGELOG_SCHEMA.fields]
-        return iter(zip(*cols))
+        # Yield pyarrow RecordBatches directly (supported by the Python
+        # DataSource API): the batch crosses the worker boundary as
+        # Arrow, no per-row tuple materialization — this boundary sees
+        # EVERY raw event, so it must stay vectorized end to end.
+        tbl = pq.read_table(partition.path, columns=[f.name for f in CHANGELOG_SCHEMA.fields])
+        return iter(tbl.to_batches())
 
     def commit(self, end: dict) -> None:
         pass  # a socket-backed broker would ack offsets here

@@ -24,17 +24,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.normalize import decode_payload, split_valid
+from ..functions.normalize import decode_payload, split_valid_observed
 from ..operators.cdc import (
     absent_payload_columns,
     dedup_lsn,
     lww_collapse,
+    lww_collapse_slim,
     normalize_winner_text,
     with_watermark,
 )
 from ..schemas import CHANGELOG_SCHEMA
-from ..plans.lineage import emit_lineage
+from ..plans.lineage import emit_lineage, write_dead_letter
 from ..plans.target import LocalCowTable, MergeStats
+
+
+def parse_delay(delay: str):
+    """'10 minutes' / '30 seconds' / '1 hour' -> timedelta."""
+    from datetime import timedelta
+
+    n, unit = delay.split()
+    unit = unit.rstrip("s")
+    return timedelta(**{{"second": "seconds", "minute": "minutes", "hour": "hours"}[unit]: int(n)})
 
 
 def changelog_stream(
@@ -54,27 +64,48 @@ def changelog_stream(
 
 
 def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
-                       fail_after: int | None = None, scope: str = "default"):
+                       fail_after: int | None = None, scope: str = "default",
+                       collapse: str = "slim", watermark_delay: str = "10 minutes",
+                       dead_letter: bool = False):
     """Build the foreachBatch callable.  `fail_after` injects a crash
-    after N successful merges (for kill/resume tests)."""
+    after N successful merges (for kill/resume tests).
+
+    Lineage counters (ops C4/C12): a single-pass Observation on the
+    decoded batch counts rows_bad and late_events (valid events whose
+    ts is older than the previous batches' max event time minus
+    `watermark_delay` — informational: the (ts, lsn) merge guard keeps
+    late events CORRECT regardless).  With dead_letter=True the
+    rejected rows are persisted under <table>/_deadletter/."""
+    import uuid as _uuid
+
     stats_log: list[MergeStats] = []
+    do_collapse = lww_collapse_slim if collapse == "slim" else lww_collapse
+    delay = parse_delay(watermark_delay)
+    state = {"max_ts": None}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if fail_after is not None and len([s for s in stats_log if not s.skipped]) >= fail_after:
             raise RuntimeError(f"injected failure before batch {batch_id}")
-        ok, bad = split_valid(decode_payload(batch_df))
+        thr = state["max_ts"] - delay if state["max_ts"] is not None else None
+        ok, bad, obs = split_valid_observed(
+            decode_payload(batch_df), f"c4_{batch_id}_{_uuid.uuid4().hex[:6]}", thr
+        )
         existing = {f.name for f in (table.schema() or [])}
         absent = absent_payload_columns(batch_df, existing)
         pruned = ok.drop(*absent) if absent else ok
-        # merge() persists the net-changes internally (bounded: <= one
-        # row per key), which both avoids recomputing the pipeline per
-        # consumer and keeps Observation metrics working on micro-batch
-        # plans with stateful nodes (dropDuplicatesWithinWatermark).
-        collapsed = normalize_winner_text(lww_collapse(pruned, n_salts=n_salts))
+        collapsed = normalize_winner_text(do_collapse(pruned, n_salts=n_salts))
         st = table.merge(collapsed, batch_id=batch_id, scope=scope)
         stats_log.append(st)
-        if not st.skipped:
-            emit_lineage(table.root, st)
+        if st.skipped:
+            return  # no action ran the observed plan; obs.get would block
+        m = obs.get
+        rows_bad = int(m["rows_bad"] or 0)
+        if m["max_ts"] is not None and (state["max_ts"] is None or m["max_ts"] > state["max_ts"]):
+            state["max_ts"] = m["max_ts"]
+        if dead_letter and rows_bad:
+            write_dead_letter(table.root, bad, batch_id)
+        emit_lineage(table.root, st, rows_bad=rows_bad,
+                     late_events=int(m["late_events"] or 0))
 
     apply_batch.stats_log = stats_log  # type: ignore[attr-defined]
     return apply_batch
@@ -92,6 +123,8 @@ def ingest(
     stream_dedup: bool = False,
     available_now: bool = True,
     fail_after: int | None = None,
+    collapse: str = "slim",
+    dead_letter: bool = False,
 ) -> tuple[LocalCowTable, "object", list[MergeStats]]:
     """Run the ingest stream; with available_now=True processes the
     current log to completion and returns (table, query, stats)."""
@@ -102,7 +135,9 @@ def ingest(
         stream = dedup_lsn(with_watermark(stream, watermark_delay), streaming=True)
     # ledger scope = checkpoint path: batch ids are only unique per
     # checkpoint; a fresh checkpoint must not collide with an old run.
-    applier = make_batch_applier(table, n_salts=n_salts, fail_after=fail_after, scope=checkpoint)
+    applier = make_batch_applier(table, n_salts=n_salts, fail_after=fail_after,
+                                 scope=checkpoint, collapse=collapse,
+                                 watermark_delay=watermark_delay, dead_letter=dead_letter)
     writer = (
         stream.writeStream.foreachBatch(applier)
         .option("checkpointLocation", checkpoint)

@@ -58,3 +58,33 @@ def test_cli_zip_and_gen(tmp_path):
     man = json.loads(out.stdout.strip().splitlines()[-1])
     assert man["n_events"] > 0
     assert os.path.exists(str(tmp_path / "log" / "chunk_00000.parquet"))
+
+
+def test_ledger_capped_and_old_batches_still_noop(spark, tmp_path, monkeypatch):
+    """Long streams: the manifest ledger retains only the last
+    LEDGER_CAP entries (bounding manifest size), and replaying a batch
+    that fell OUT of the window is still a no-op via the (ts, lsn)
+    guard — zero rows applied, final state unchanged."""
+    from datetime import datetime
+
+    monkeypatch.setattr(LocalCowTable, "LEDGER_CAP", 5)
+    tbl = str(tmp_path / "tbl")
+    table = LocalCowTable.create(spark, tbl, n_buckets=4)
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"c{i}", 0, "user", f"text{i}", None, None, i + 1, datetime(2026, 1, 1, i), 1, 1, False)],
+            "conv_id string, turn_idx int, role string, text string, tool string, "
+            "meta_tokens long, lsn long, ts timestamp, n_events long, n_unique long, is_delete boolean",
+        )
+
+    for i in range(12):
+        table.merge(batch(i), batch_id=i, scope="long")
+    assert len(table.ledger()) == 5
+    assert [e["batch_id"] for e in table.ledger()] == list(range(7, 12))
+
+    before = state_hash(table.snapshot().toPandas())
+    st = table.merge(batch(0), batch_id=0, scope="long")  # outside the window
+    assert not st.skipped  # ledger no longer remembers it...
+    assert st.rows_applied == 0 and st.conflicts == 1  # ...but the guard rejects it
+    assert state_hash(table.snapshot().toPandas()) == before

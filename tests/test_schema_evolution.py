@@ -51,14 +51,39 @@ def test_v1_only_has_no_tool_column(spark, tmp_path):
         assert snap[c].tolist() == oracle[c].tolist()
 
 
-def test_turn_idx_widening_int32_to_int64(spark, tmp_path):
+def test_type_widening_and_wide_key_envelope(spark, tmp_path):
+    """int->long widening of a DATA column (meta_tokens: a v1 producer
+    declared the field int32; a later producer widens it), plus a
+    WIDER-KEY envelope (turn_idx int64 on the wire): the key is
+    canonically long in the engine, so a widened key envelope merges
+    into the same buckets — assignment is type-stable by construction
+    (target._bucket_expr hashes the long form, like Iceberg's bucket
+    transform)."""
+    import pyspark.sql.types as T
+
+    from dipper_spark.functions.normalize import decode_payload, split_valid
+    from dipper_spark.operators.cdc import lww_collapse, normalize_winner_text
+    from dipper_spark.schemas import CHANGELOG_SCHEMA, PAYLOAD_SCHEMA
+
     spec = ChangelogSpec(seed=33, n_conv=40, extra_rate=0.8)
     log_dir, tbl = str(tmp_path / "log"), str(tmp_path / "tbl")
     logical, _ = gen_changelog(log_dir, spec)
-    table, _ = replay(spark, log_dir, tbl)
-    assert table.schema()["turn_idx"].dataType.typeName() == "integer"
 
-    # a later changelog declares turn_idx as int64 (widened envelope)
+    # batch 1: decode with a NARROW payload schema -> meta_tokens int32
+    narrow = T.StructType([
+        f if f.name != "meta"
+        else T.StructField("meta", T.StructType([T.StructField("tokens", T.IntegerType(), True)]), True)
+        for f in PAYLOAD_SCHEMA.fields
+    ])
+    table = LocalCowTable.create(spark, tbl)
+    raw1 = spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
+    ok1, _ = split_valid(decode_payload(raw1, payload_schema=narrow))
+    table.merge(normalize_winner_text(lww_collapse(ok1)), batch_id=0, scope="widen")
+    assert table.schema()["meta_tokens"].dataType.typeName() == "integer"
+    assert table.schema()["turn_idx"].dataType.typeName() == "long"  # canonical key
+
+    # batch 2: standard (long) payload schema AND a turn_idx-int64
+    # envelope — a producer that widened the key column on the wire
     spec2 = ChangelogSpec(seed=34, n_conv=40, extra_rate=0.8)
     logical2 = gen_logical_log(spec2)
     logical2["lsn"] = logical2["lsn"] + 1_000_000  # disjoint, later LSN range
@@ -75,10 +100,6 @@ def test_turn_idx_widening_int32_to_int64(spark, tmp_path):
     tbl2 = pa.Table.from_pandas(env, schema=wide_arrow, preserve_index=False)
     pq.write_table(tbl2, wide_dir + "/chunk_00000.parquet")
 
-    from dipper_spark.functions.normalize import decode_payload, split_valid
-    from dipper_spark.operators.cdc import lww_collapse, normalize_winner_text
-    from dipper_spark.schemas import CHANGELOG_SCHEMA
-    import pyspark.sql.types as T
     wide_schema = T.StructType([
         f if f.name != "turn_idx" else T.StructField("turn_idx", T.LongType(), False)
         for f in CHANGELOG_SCHEMA.fields
@@ -87,7 +108,7 @@ def test_turn_idx_widening_int32_to_int64(spark, tmp_path):
     ok, _ = split_valid(decode_payload(raw))
     st = table.merge(normalize_winner_text(lww_collapse(ok)), batch_id=99, scope="widen")
     assert st.rows_applied > 0
-    assert table.schema()["turn_idx"].dataType.typeName() == "long"
+    assert table.schema()["meta_tokens"].dataType.typeName() == "long"  # widened
 
     # combined final state still equals the oracle over both logs
     both = pd.concat([logical.assign(pv=2), logical2.assign(pv=2)], ignore_index=True)
