@@ -286,19 +286,21 @@ class LocalCowTable:
         has_off = "source_offset" in collapsed.columns
         keep = (KEY_COLUMNS + data_cols + ["_op_ts", "_lsn", "_deleted", "_bucket", "n_events", "n_unique"]
                 + (["source_offset"] if has_off else []))
-        # Stage the net-changes to parquet: they are <= one row per key
-        # by construction (op C7/C8) and feed three consumers (the
-        # touched-bucket probe, the join, the write).  A parquet stage
-        # beats .persist() here by ~3x measured (10.4M-event batch,
-        # local[32]: persist materialization 26s vs 8s compute + 3s
-        # write — deserialized caching of millions of rows is block-
-        # manager/GC churn), it spills naturally at any batch size, and
-        # it keeps Observation metrics working in foreachBatch (the
-        # executed plan reads a clean parquet scan, no micro-batch
-        # source embedded).
+        # Materialize the net-changes: they are <= one row per key by
+        # construction (op C7/C8) and feed three consumers (the
+        # touched-bucket probe, the join, the write).  persist() keeps
+        # the groupBy's hash-partitioning on the merge keys, so the
+        # downstream full-outer join adds NO exchange on the s side and
+        # the bucket-aligned write stays shuffle-free — measured
+        # end-to-end (canary-gated interleaved A/B, 10.4M-event batch):
+        # persist 30.9s vs parquet-stage 35.8s at local[32], 50.6s vs
+        # 74.0s at local[8] (the stage round-trip loses the
+        # partitioning, forcing a re-shuffle in the join).  The parquet
+        # stage remains available (DIPPER_NETCHANGE_MAT=stage) for
+        # memory-constrained executors: it spills to files by nature.
         s = s.select(*[c for c in keep if c in s.columns])
         stage_dir = None
-        if os.environ.get("DIPPER_NETCHANGE_MAT", "stage") == "persist":
+        if os.environ.get("DIPPER_NETCHANGE_MAT", "persist") == "persist":
             s = s.alias("s").persist()
         else:
             stage_dir = os.path.join(self.root, f"_stage_b{batch_id}_{uuid.uuid4().hex[:8]}")
