@@ -65,7 +65,7 @@ def changelog_stream(
 
 def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
                        fail_after: int | None = None, scope: str = "default",
-                       collapse: str = "slim", watermark_delay: str = "10 minutes",
+                       collapse: str = "carry", watermark_delay: str = "10 minutes",
                        dead_letter: bool = False):
     """Build the foreachBatch callable.  `fail_after` injects a crash
     after N successful merges (for kill/resume tests).
@@ -123,7 +123,7 @@ def ingest(
     stream_dedup: bool = False,
     available_now: bool = True,
     fail_after: int | None = None,
-    collapse: str = "slim",
+    collapse: str = "carry",
     dead_letter: bool = False,
 ) -> tuple[LocalCowTable, "object", list[MergeStats]]:
     """Run the ingest stream; with available_now=True processes the

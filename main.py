@@ -50,6 +50,12 @@ def main() -> None:
     r.add_argument("--n-salts", type=int, default=16)
     r.add_argument("--n-buckets", type=int, default=64)
     r.add_argument("--cores", type=int, default=None)
+    r.add_argument("--collapse", choices=["carry", "slim"], default="carry",
+                   help="carry: payload rides the collapse shuffles (fast for "
+                        "short texts); slim: winner-lsn-only collapse + payload "
+                        "semi-join (fewer shuffle bytes for wide payloads)")
+    r.add_argument("--dead-letter", action="store_true",
+                   help="persist op-C4 rejected rows under <table>/_deadletter")
 
     i = sub.add_parser("ingest")
     i.add_argument("--log", required=True)
@@ -59,6 +65,8 @@ def main() -> None:
     i.add_argument("--stream-dedup", action="store_true")
     i.add_argument("--continuous", action="store_true",
                    help="keep tailing instead of availableNow")
+    i.add_argument("--dead-letter", action="store_true",
+                   help="persist op-C4 rejected rows under <table>/_deadletter")
 
     s = sub.add_parser("snapshot")
     s.add_argument("--table", required=True)
@@ -103,7 +111,8 @@ def main() -> None:
         from dipper_spark.plans.replay import replay
 
         table, stats = replay(spark, args.log, args.table, n_salts=args.n_salts,
-                              n_buckets=args.n_buckets, chunk_lsn=args.chunk_lsn)
+                              n_buckets=args.n_buckets, chunk_lsn=args.chunk_lsn,
+                              collapse=args.collapse, dead_letter=args.dead_letter)
         for st in stats:
             print(json.dumps(st.__dict__))
         print(json.dumps({"final_rows": table.snapshot().count()}))
@@ -115,6 +124,7 @@ def main() -> None:
             max_files_per_trigger=args.max_files_per_trigger,
             stream_dedup=args.stream_dedup,
             available_now=not args.continuous,
+            dead_letter=args.dead_letter,
         )
         if args.continuous:
             query.awaitTermination()
