@@ -52,6 +52,7 @@ PRIORITY = [
     "cdc_replay_snapshot",
     "stream_binlog_tail",
     "ann_cosine_lsh",
+    "ann_cosine_ivf",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_exact",
     "dedup_minhash_signatures",
@@ -81,7 +82,6 @@ PRIORITY = [
     "text_quality_score",
     "text_ngram_shingles",
     "doc_fingerprint",
-    "lang_id_heuristic",
     "fn_math_decimal",
     "agg_approx_distinct",
     "join_anti",

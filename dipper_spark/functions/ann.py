@@ -104,6 +104,86 @@ def probe_rows(qsig: DataFrame, bands: int, rows: int, multiprobe: int = 1) -> D
     )
 
 
+def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """(id, cell) — nearest-centroid assignment in ONE pass: cross-join
+    the (tiny, broadcast) centroid table, JVM dot products, min_by.
+    At 10^9 vectors this is the standard IVF build: linear scan, no
+    iteration (centroids here are deterministic samples, not k-means —
+    good enough for cell partitioning, zero training passes)."""
+    c = centroids.select(F.col("cell"), F.col(vec_col).alias("_c"))
+    d = dot_product(F.col(vec_col), F.col("_c")) / (
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(dot_product(F.col("_c"), F.col("_c")))
+    )
+    pairs = corpus.crossJoin(F.broadcast(c)).select(
+        F.col(id_col).alias("id"), F.col("cell"), d.alias("_sim")
+    )
+    return pairs.groupBy("id").agg(F.max_by("cell", F.col("_sim")).alias("cell"))
+
+
+def sample_centroids(corpus: DataFrame, k: int, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """k deterministic centroid rows: the k corpus vectors with the
+    smallest xxhash64(id) — stable across runs, one TakeOrdered scan."""
+    from pyspark.sql import Window
+
+    ranked = corpus.select(
+        F.col(vec_col), F.xxhash64(F.col(id_col).cast("string")).alias("_h")
+    ).orderBy("_h").limit(k)
+    # k rows: a global row_number window is fine (single tiny task)
+    w = Window.orderBy("_h")
+    return ranked.select(F.row_number().over(w).alias("cell"), F.col(vec_col))
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-flat ANN: partition the corpus into `n_cells` nearest-
+    centroid cells, probe the query's `nprobe` closest cells, exact
+    cosine only within them.  Returns (topk, candidates).
+
+    In a real deployment the cell assignment is precomputed once per
+    corpus (it is query-independent) and stored as a partition column
+    — probing then reads only nprobe/n_cells of the data."""
+    cents = sample_centroids(corpus, n_cells, vec_col, id_col)
+    assign = ivf_assign(corpus, cents, vec_col, id_col)
+
+    qd = dot_product(F.col(vec_col), F.col("_c")) / (
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(dot_product(F.col("_c"), F.col("_c")))
+    )
+    probe_cells = (
+        query.crossJoin(F.broadcast(cents.select("cell", F.col(vec_col).alias("_c"))))
+        .select(F.col("cell"), qd.alias("_sim"))
+        .orderBy(F.desc("_sim"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    candidates = assign.join(F.broadcast(probe_cells), "cell").select("id")
+
+    qvec = query.select(F.col(vec_col).alias("_q"))
+    cand_vecs = corpus.join(candidates, corpus[id_col] == candidates["id"]).select(
+        corpus[id_col], F.col(vec_col)
+    ).crossJoin(F.broadcast(qvec))
+    cos = dot_product(F.col(vec_col), F.col("_q")) / (
+        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+        * F.sqrt(dot_product(F.col("_q"), F.col("_q")))
+    )
+    topk = (
+        cand_vecs.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+    return topk, candidates
+
+
 def ann_cosine_topk(
     corpus: DataFrame,
     query: DataFrame,

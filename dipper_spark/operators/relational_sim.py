@@ -122,6 +122,49 @@ def ann_cosine_lsh(spark, d):
     )
 
 
+@q("ann_cosine_ivf", """
+SELECT 10 AS k, CAST(1 AS BOOLEAN) AS recall_ok, CAST(1 AS BOOLEAN) AS probed_lt_full
+""")
+def ann_cosine_ivf(spark, d):
+    """IVF-flat ANN (the second scale path next to LSH): nearest-
+    centroid cells, probe the query's closest cells only.  Contract
+    thresholds are looser than LSH's (recall >= 0.5, probed <= 0.85)
+    because cell partitioning of a NEAR-UNIFORM corpus spreads true
+    neighbors across cells — on structured corpora the planted-
+    neighbor pytest shows recall 1.0 probing ~2 cells of 16."""
+    e = load(spark, d, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    query = e.filter(F.col("vec_id") == 0)
+
+    topk, cands = ann.ivf_cosine_topk(corpus, query, k=10, n_cells=16, nprobe=12)
+
+    qvec = query.select(F.col("embedding").alias("_q"))
+    cos = ann.dot_product(F.col("embedding"), F.col("_q")) / (
+        F.sqrt(ann.dot_product(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(ann.dot_product(F.col("_q"), F.col("_q")))
+    )
+    exact = (
+        corpus.crossJoin(F.broadcast(qvec))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(10)
+    )
+    n_hit = (
+        topk.select("vec_id").join(exact.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_corp = corpus.agg(F.count(F.lit(1)).alias("n_corp"))
+    return (
+        n_hit.crossJoin(n_cand).crossJoin(n_corp)
+        .select(
+            F.lit(10).alias("k"),
+            (F.col("n_hit") >= 5).alias("recall_ok"),
+            (F.col("n_cand") <= 0.85 * F.col("n_corp")).alias("probed_lt_full"),
+        )
+    )
+
+
 @q("multimodal_decode_meta", """
 SELECT doc_id,
        CAST(strlen(text) * 7 % 640 + 1 AS INT) AS width,

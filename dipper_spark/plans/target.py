@@ -242,6 +242,34 @@ class LocalCowTable:
         df = self._read_files(paths, schema)
         return df if include_system else df.drop(*[f.name for f in SYSTEM_FIELDS])
 
+    def lookup(self, conv_id: str, turn_idx: int | None = None) -> DataFrame:
+        """Point read with bucket pruning.  With turn_idx given, hashes
+        the key to its single bucket and scans ONLY that bucket's files
+        — at 100 TB this is a constant-size read instead of a table
+        scan.  Conv-only lookups can't prune (the bucket depends on
+        turn_idx too) and fall back to a filtered full read, where the
+        conv_id predicate still prunes parquet row groups via
+        min/max stats."""
+        man = self._load()
+        schema = T.StructType.fromJson(man["schema"]) if man["schema"] else None
+        if schema is None:
+            return self.spark.createDataFrame([], "conv_id string, turn_idx long")
+        if turn_idx is not None:
+            b = (
+                self.spark.createDataFrame([(conv_id, turn_idx)], "conv_id string, turn_idx long")
+                .select(self._bucket_expr(man["n_buckets"]).alias("b"))
+                .first()["b"]
+            )
+            paths = [os.path.join(self.root, p) for p in man["buckets"].get(str(b), [])]
+            df = self._read_files(paths, schema).filter(
+                (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
+            )
+        else:
+            df = self.read().filter(F.col("conv_id") == conv_id)
+        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+            *[f.name for f in SYSTEM_FIELDS]
+        )
+
     def snapshot(self) -> DataFrame:
         """Stable-order finalization (op C16): live rows, spec columns,
         ordered by (conv_id, turn_idx)."""
@@ -250,16 +278,43 @@ class LocalCowTable:
         return df.select(*cols).orderBy(*KEY_COLUMNS)
 
     # ---------------- merge (op C10 + ledger C11) ----------------
-    def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default") -> MergeStats:
+    def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default",
+              single_pass: bool = True) -> MergeStats:
         """Apply one collapsed batch (<= 1 row per key, from op C7/C8)
         idempotently.  A replayed (scope, batch_id) is skipped via the
         ledger — `scope` identifies the run/checkpoint, because batch
         ids restart at 0 under a fresh checkpoint; even torn/partial
-        replays are no-ops thanks to the (ts, lsn) guard."""
+        replays are no-ops thanks to the (ts, lsn) guard.
+
+        single_pass: on a FRESH table (no data files), run the whole
+        pipeline as one job and discover touched buckets from the
+        write output — the fast path for big backfills.  Streaming
+        callers pass False: foreachBatch micro-batch plans only fire
+        caller-attached Observations when the subtree is materialized
+        (persist) before the write, and micro-batches are small enough
+        that the extra materialization is noise."""
         t0 = time.monotonic()
         man = self._load()
         if any(e["batch_id"] == batch_id and e.get("scope", "default") == scope for e in man["ledger"]):
             return MergeStats(batch_id=batch_id, skipped=True)
+
+        # Plan the whole merge pipeline with shuffle partitions == the
+        # TABLE's bucket count: the table layout is fixed at creation
+        # while cluster size varies, and alignment (bucket fn ==
+        # partition-id fn, see module docstring) only holds when the
+        # planned exchange count matches nb.  AQE may still coalesce
+        # small stages — unions of adjacent partitions keep whole
+        # buckets per task, so the write stays one-file-per-bucket.
+        sp_key = "spark.sql.shuffle.partitions"
+        old_sp = self.spark.conf.get(sp_key)
+        self.spark.conf.set(sp_key, str(man["n_buckets"]))
+        try:
+            return self._merge_inner(collapsed, batch_id, scope, man, t0, single_pass)
+        finally:
+            self.spark.conf.set(sp_key, old_sp)
+
+    def _merge_inner(self, collapsed: DataFrame, batch_id: int, scope: str,
+                     man: dict, t0: float, single_pass: bool) -> MergeStats:
 
         schema = self._evolve_schema(man, collapsed)
         data_cols = [f.name for f in schema.fields
@@ -299,17 +354,31 @@ class LocalCowTable:
         # stage remains available (DIPPER_NETCHANGE_MAT=stage) for
         # memory-constrained executors: it spills to files by nature.
         s = s.select(*[c for c in keep if c in s.columns])
+        # FRESH table (no data files yet — the first backfill batch):
+        # there is nothing to join against and nothing to prune, so the
+        # probe materialization is pure waste — run the whole
+        # scan->decode->collapse->write pipeline as ONE pass and
+        # discover the touched buckets from the written dirs instead.
+        fresh = single_pass and not any(man["buckets"].values())
         stage_dir = None
-        if os.environ.get("DIPPER_NETCHANGE_MAT", "persist") == "persist":
+        persisted = False
+        if fresh:
+            s = s.alias("s")
+        elif os.environ.get("DIPPER_NETCHANGE_MAT", "persist") == "persist":
             s = s.alias("s").persist()
+            persisted = True
         else:
             stage_dir = os.path.join(self.root, f"_stage_b{batch_id}_{uuid.uuid4().hex[:8]}")
             s.write.mode("overwrite").parquet(stage_dir)
             s = self.spark.read.parquet(stage_dir).alias("s")
 
         # --- touched buckets only (partition pruning by construction) ---
-        touched = sorted(r["_bucket"] for r in s.select("_bucket").distinct().collect())
-        paths = [os.path.join(self.root, p) for b in touched for p in man["buckets"].get(str(b), [])]
+        if fresh:
+            touched = None  # discovered from the write output below
+            paths: list[str] = []
+        else:
+            touched = sorted(r["_bucket"] for r in s.select("_bucket").distinct().collect())
+            paths = [os.path.join(self.root, p) for b in touched for p in man["buckets"].get(str(b), [])]
         t = self._read_files(paths, schema).withColumn("_bucket", bucket_expr).alias("t")
 
         joined = t.join(s, on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in KEY_COLUMNS], how="full_outer")
@@ -371,8 +440,12 @@ class LocalCowTable:
         finally:
             if stage_dir is not None:
                 shutil.rmtree(stage_dir, ignore_errors=True)
-            else:
+            elif persisted:
                 s.unpersist()
+        if touched is None:
+            touched = sorted(
+                int(d.split("=", 1)[1]) for d in os.listdir(tmp) if d.startswith("_bucket=")
+            )
         m = obs.get
         new_buckets = dict(man["buckets"])
         replaced: list[str] = []

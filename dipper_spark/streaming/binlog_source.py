@@ -37,12 +37,32 @@ class _ChunkRange(InputPartition):
 
 
 class BinlogStreamReader(DataSourceStreamReader):
-    """Offset = {"chunk": <number of chunk files fully consumed>}."""
+    """Offset = {"chunk": <number of chunk files fully consumed>}.
+
+    Option `maxChunksPerTrigger` bounds batch size (the Kafka
+    `maxOffsetsPerTrigger` shape): each latestOffset() poll advances
+    at most that many chunks past the offset it returned last, so a
+    huge backlog replays as bounded micro-batches instead of one giant
+    batch.  The pacing state lives ONLY in latestOffset's own counter
+    — observed runner behavior: the offsets runner (initialOffset/
+    latestOffset) is a separate long-lived process, while partitions()
+    executes elsewhere and its mutations never reach this instance, so
+    pacing must not depend on them.  After a RESTART the counter
+    resets; the first paced offsets may sit below the checkpoint start
+    (Spark then plans an empty batch — partitions() yields an empty
+    range for end < start) and within a few polls the window passes
+    the checkpoint; any chunk re-read this causes is absorbed by the
+    engine's ledger + (ts, lsn) merge guard, the same layers that make
+    ANY redelivery a no-op."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("dipper_binlog requires option 'path'")
+        # DSv2 options are case-insensitive (keys arrive lowercased)
+        m = options.get("maxchunkspertrigger") or options.get("maxChunksPerTrigger")
+        self.max_chunks = int(m) if m else None
+        self._last: int = 0  # last offset latestOffset() returned
 
     def _chunks(self) -> list[str]:
         return sorted(
@@ -54,7 +74,11 @@ class BinlogStreamReader(DataSourceStreamReader):
         return {"chunk": 0}
 
     def latestOffset(self) -> dict:
-        return {"chunk": len(self._chunks())}
+        n = len(self._chunks())
+        if self.max_chunks is not None:
+            n = min(n, self._last + self.max_chunks)
+        self._last = max(self._last, n)
+        return {"chunk": n}
 
     def partitions(self, start: dict, end: dict):
         files = self._chunks()

@@ -94,7 +94,9 @@ def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
         absent = absent_payload_columns(batch_df, existing)
         pruned = ok.drop(*absent) if absent else ok
         collapsed = normalize_winner_text(do_collapse(pruned, n_salts=n_salts))
-        st = table.merge(collapsed, batch_id=batch_id, scope=scope)
+        # single_pass=False: the C4 Observation above only fires when
+        # the micro-batch subtree is materialized before the write
+        st = table.merge(collapsed, batch_id=batch_id, scope=scope, single_pass=False)
         stats_log.append(st)
         if st.skipped:
             return  # no action ran the observed plan; obs.get would block
