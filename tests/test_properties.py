@@ -88,3 +88,21 @@ def test_replay_invariant_to_batch_split(spark, tmp_path_factory, logical, chunk
     _write_delivery(logical, str(tmp / "log"), 1, 0.0, 2)
     table, _ = replay(spark, str(tmp / "log"), str(tmp / "tbl"), chunk_lsn=chunk_lsn)
     assert state_hash(table.snapshot().toPandas()) == state_hash(apply_log_pandas(logical))
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(logical=logical_logs(),
+       perm_seed=st.integers(min_value=0, max_value=2**16),
+       dup_frac=st.sampled_from([0.0, 0.4]))
+def test_slim_collapse_equals_carry(spark, tmp_path_factory, logical, perm_seed, dup_frac):
+    """The two collapse strategies are the same pure function of the
+    event set: winner-lsn semi-join (slim) == payload-carrying (carry)
+    under random delivery corruption."""
+    tmp = tmp_path_factory.mktemp("propslim")
+    _write_delivery(logical, str(tmp / "log"), perm_seed, dup_frac, 2)
+    t1, _ = replay(spark, str(tmp / "log"), str(tmp / "t1"), collapse="carry")
+    t2, _ = replay(spark, str(tmp / "log"), str(tmp / "t2"), collapse="slim")
+    h1 = state_hash(t1.snapshot().toPandas())
+    assert h1 == state_hash(t2.snapshot().toPandas())
+    assert h1 == state_hash(apply_log_pandas(logical))

@@ -131,3 +131,22 @@ def test_incompatible_change_rejected(spark, tmp_path):
     bad = base.withColumn("meta_tokens", F.lit("not-a-number"))
     with pytest.raises(SchemaEvolutionError, match="meta_tokens"):
         table.merge(bad, batch_id=1, scope="t")
+
+
+def test_streaming_evolution_v1_then_v2(spark, tmp_path):
+    """Schema evolution through the STREAMING path: v1-era chunks (no
+    tool/meta) arrive first (maxFilesPerTrigger=1 keeps them in their
+    own micro-batches), v2 chunks later; the target ADDs the columns
+    mid-stream and the final state equals the oracle."""
+    from dipper_spark.streaming.ingest import ingest
+
+    spec = ChangelogSpec(seed=35, n_conv=50, extra_rate=1.0, evolution_lsn_frac=0.5,
+                         shuffle_window=5, n_chunks=4)
+    log_dir, tbl = str(tmp_path / "log"), str(tmp_path / "tbl")
+    logical, _ = gen_changelog(log_dir, spec)
+
+    table, query, stats = ingest(spark, log_dir, tbl, str(tmp_path / "ckpt"),
+                                 max_files_per_trigger=1)
+    names = [f.name for f in table.schema().fields]
+    assert "tool" in names and "meta_tokens" in names
+    _assert_equal(table.snapshot().toPandas(), apply_log_pandas(logical))
