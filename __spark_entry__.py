@@ -54,6 +54,7 @@ PRIORITY = [
     "ann_cosine_lsh",
     "ann_cosine_ivf",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     "dedup_ngram_jaccard_exact",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -80,7 +81,6 @@ PRIORITY = [
     "text_langid_heuristic",
     "text_rolling_fingerprint",
     "text_quality_score",
-    "text_ngram_shingles",
     "doc_fingerprint",
     "fn_math_decimal",
     "agg_approx_distinct",

@@ -107,6 +107,50 @@ def minhash_near_dups(df: DataFrame, threshold: float = 0.8, k: int = 32,
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, component) over an undirected edge list (id_a, id_b) —
+    min-label propagation: every node's label converges to the
+    smallest id reachable from it.  Rounds needed = O(graph diameter);
+    near-dup graphs are unions of tiny cliques, so 2-4 rounds suffice.
+
+    This is the clustering stage of dedup-at-scale: candidate pairs
+    (from LSH) -> components -> one canonical doc per component.  Each
+    round is two hash joins + a groupBy over the edge list — fully
+    distributed; the driver only checks a converged flag per round.
+    (At 10^9 edges the constant-factor upgrade is the alternating
+    large-star/small-star iteration — same join shape.)"""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.select("id", "label").unionAll(nbr)
+            .groupBy("id").agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """63-bit SimHash per doc (bit 63 left clear so the fingerprint fits
     a signed int64): sign-sum of word-hash bits, JVM-side.

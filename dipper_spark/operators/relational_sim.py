@@ -50,6 +50,49 @@ def dedup_ngram_jaccard_exact(spark, d):
     return sim.exact_jaccard_pairs(sh, pairs).filter(F.col("jaccard") > 0.01)
 
 
+@q("dedup_cluster_canonical", """
+WITH RECURSIVE
+words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS shingle
+       FROM words, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.1),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.label < e.dst
+)
+SELECT id AS doc_id, MIN(label) AS canonical FROM reach GROUP BY id
+""")
+def dedup_cluster_canonical(spark, d):
+    """Near-dup CLUSTERING — the stage after pair finding in dedup at
+    scale: similar-pair graph -> connected components (min-label
+    propagation, distributed joins) -> one canonical doc per cluster
+    (the component's min doc_id; dedup keeps it, drops the rest).
+    Candidates here are shingle-sharing pairs so DuckDB's recursive
+    CTE can verify the full pipeline exactly; the 100 TB path feeds
+    LSH candidates (dedup_minhash_lsh) into the same component step."""
+    docs = load(spark, d, "documents")
+    sh = sim.shingles(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = sim.exact_jaccard_pairs(sh, cand).filter(F.col("jaccard") >= 0.1)
+    comp = sim.connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("canonical"))
+
+
 @q("dedup_minhash_lsh")  # rows-only: LSH banding has no SQL equivalent
 def dedup_minhash_lsh(spark, d):
     """Full MinHash+LSH near-dup pipeline (shingle -> minhash -> band ->

@@ -207,3 +207,23 @@ def test_ivf_planted_neighbors_few_cells(spark):
     got = sorted(r.vec_id for r in topk.collect())
     assert got == planted
     assert cands.count() <= 0.4 * n  # probed ~2/12 of the corpus
+
+
+def test_connected_components_clusters_neardups(spark):
+    """Pair graph {0-1, 0-2, 1-2} + {3-4}: two components, canonical =
+    min id of each; convergence in few label-propagation rounds."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.component for r in sim.connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_connected_components_chain(spark):
+    """A 6-node chain (worst-case diameter) still converges to one
+    component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.component for r in sim.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 6
