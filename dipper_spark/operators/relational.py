@@ -632,7 +632,7 @@ def fn_datetime(spark, d):
 @q("fn_math_decimal", """
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 1) AS r1,
-       FLOOR(l_discount * 100) AS disc_pct,
+       CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
        ABS(l_tax - 0.05) AS tax_delta,
        ROUND(POW(l_quantity, 2), 2) AS qty_sq,
        ROUND(LN(l_extendedprice), 4) AS ln_price,

@@ -122,7 +122,8 @@ class LocalCowTable:
                     "version": 0,
                     "n_buckets": n_buckets,
                     "schema": None,  # defined by the first applied batch
-                    "buckets": {},  # bucket id (str) -> [relative file paths]
+                    "schemas": [],  # every schema ever written, in order
+                    "buckets": {},  # bucket id (str) -> [[rel path, schema id]]
                     "ledger": [],  # [{batch_id, max_lsn, rows_applied, committed_at}]
                 }
             )
@@ -132,12 +133,22 @@ class LocalCowTable:
         return os.path.join(self.root, self.MANIFEST)
 
     @staticmethod
-    def _bucket_expr(nb: int):
-        """Bucket id — pmod(murmur3(key), nb), IDENTICAL to Spark's
-        HashPartitioning id for a shuffle on the merge keys with nb
-        partitions, so a key-partitioned plan is already bucket-aligned
-        (see module docstring).  Correctness never depends on the
-        alignment: files land in dirs by the COLUMN value.
+    def _bucket_expr(nb: int, fmt: int = 2):
+        """Bucket id, dispatched on the manifest's format_version.
+
+        v2 (current): pmod(murmur3(conv_id, turn_idx), nb) — IDENTICAL
+        to Spark's HashPartitioning id for a shuffle on the merge keys
+        with nb partitions, so a key-partitioned plan is already
+        bucket-aligned (see module docstring).  Correctness never
+        depends on the alignment: files land in dirs by the COLUMN
+        value.
+
+        v1 (legacy): pmod(xxhash64(conv_id), nb).  A v1 table MUST keep
+        hashing with the v1 function — probing a v1 layout with the v2
+        hash reads the wrong bucket files, misses existing keys, and
+        silently duplicates them (the (ts, lsn) guard never sees the
+        match).  compact() migrates v1 -> v2 (it rewrites every bucket
+        from a full read, so it can switch hash functions safely).
 
         turn_idx is hashed AS LONG regardless of the stored type: the
         assignment must survive int->long widening (murmur3 of int 3
@@ -145,9 +156,19 @@ class LocalCowTable:
         turn_idx as long (normalize.decode_payload), so the alignment
         with shuffle partitioning holds on the hot path; direct merges
         of int-typed frames stay correct, merely unaligned."""
+        if fmt == 1:
+            return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(nb)).cast("int")
+        if fmt != 2:
+            raise ValueError(f"unknown table format_version {fmt!r}")
         return F.pmod(
             F.hash(F.col("conv_id"), F.col("turn_idx").cast("long")), F.lit(nb)
         ).cast("int")
+
+    @staticmethod
+    def _fmt(man: dict) -> int:
+        """Manifest format version; manifests written before the field
+        existed are v1 (xxhash64 bucketing)."""
+        return int(man.get("format_version", 1))
 
     def _load(self) -> dict:
         with open(self._manifest_path()) as f:
@@ -217,18 +238,45 @@ class LocalCowTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
-    def _read_files(self, paths: list[str], schema: T.StructType) -> DataFrame:
-        if not paths:
+    @staticmethod
+    def _entries(man: dict, bucket_ids=None) -> list[tuple[str, int | None]]:
+        """(rel path, schema id) pairs for the given buckets (all when
+        None).  Legacy v1 manifests stored bare path strings — those
+        surface with schema id None (footer-read fallback)."""
+        if bucket_ids is None:
+            lists = man["buckets"].values()
+        else:
+            lists = (man["buckets"].get(str(b), []) for b in bucket_ids)
+        out: list[tuple[str, int | None]] = []
+        for fs in lists:
+            for e in fs:
+                out.append((e, None) if isinstance(e, str) else (e[0], e[1]))
+        return out
+
+    def _read_files(self, entries: list[tuple[str, int | None]], man: dict,
+                    schema: T.StructType) -> DataFrame:
+        if not entries:
             return self.spark.createDataFrame([], schema)
         # Bucket files may carry different physical schemas after ADD/widen
-        # evolution (untouched buckets are never rewritten). Group by
-        # physical schema, conform each group to the logical schema, union.
-        groups: dict[str, list[str]] = defaultdict(list)
-        for p in paths:
-            groups[str(pq.read_schema(p))].append(p)
-        parts = [
-            self._conform(self.spark.read.parquet(*ps), schema) for ps in groups.values()
-        ]
+        # evolution (untouched buckets are never rewritten).  Group by the
+        # schema id stamped into the manifest at WRITE time — zero metadata
+        # I/O (the pre-r3 version did a driver-side pq.read_schema per file
+        # per merge: an O(files) stall at 10^10 scale).  Each group is read
+        # with its recorded physical schema (no footer inference), conformed
+        # to the logical schema by cast, then unioned.  Legacy entries with
+        # no schema id pay one footer read each.
+        schemas = man.get("schemas", [])
+        groups: dict[object, list[str]] = defaultdict(list)
+        for rel, sid in entries:
+            p = os.path.join(self.root, rel)
+            key = sid if sid is not None else ("footer", str(pq.read_schema(p)))
+            groups[key].append(p)
+        parts = []
+        for key, ps in groups.items():
+            rd = self.spark.read
+            if isinstance(key, int):
+                rd = rd.schema(T.StructType.fromJson(schemas[key]))
+            parts.append(self._conform(rd.parquet(*ps), schema))
         return reduce(DataFrame.unionAll, parts)
 
     def read(self, include_system: bool = True) -> DataFrame:
@@ -238,8 +286,7 @@ class LocalCowTable:
             [T.StructField("conv_id", T.StringType(), False),
              T.StructField("turn_idx", T.IntegerType(), False)] + SYSTEM_FIELDS
         )
-        paths = [os.path.join(self.root, p) for fs in man["buckets"].values() for p in fs]
-        df = self._read_files(paths, schema)
+        df = self._read_files(self._entries(man), man, schema)
         return df if include_system else df.drop(*[f.name for f in SYSTEM_FIELDS])
 
     def lookup(self, conv_id: str, turn_idx: int | None = None) -> DataFrame:
@@ -257,11 +304,10 @@ class LocalCowTable:
         if turn_idx is not None:
             b = (
                 self.spark.createDataFrame([(conv_id, turn_idx)], "conv_id string, turn_idx long")
-                .select(self._bucket_expr(man["n_buckets"]).alias("b"))
+                .select(self._bucket_expr(man["n_buckets"], self._fmt(man)).alias("b"))
                 .first()["b"]
             )
-            paths = [os.path.join(self.root, p) for p in man["buckets"].get(str(b), [])]
-            df = self._read_files(paths, schema).filter(
+            df = self._read_files(self._entries(man, [b]), man, schema).filter(
                 (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
             )
         else:
@@ -320,7 +366,17 @@ class LocalCowTable:
         data_cols = [f.name for f in schema.fields
                      if f.name not in KEY_COLUMNS and f.name not in {x.name for x in SYSTEM_FIELDS}]
         nb = man["n_buckets"]
-        bucket_expr = self._bucket_expr(nb)
+        fmt = self._fmt(man)
+        bucket_expr = self._bucket_expr(nb, fmt)
+        # stamp the (possibly evolved) write schema into the manifest's
+        # schema registry; every file written this merge records its id
+        schemas = man.setdefault("schemas", [])
+        sj = schema.jsonValue()
+        try:
+            sid = schemas.index(sj)
+        except ValueError:
+            schemas.append(sj)
+            sid = len(schemas) - 1
 
         # --- source side: conform to target schema, tombstone deletes ---
         # NB: capture the ordering tuple (_op_ts from the event ts) BEFORE
@@ -375,11 +431,11 @@ class LocalCowTable:
         # --- touched buckets only (partition pruning by construction) ---
         if fresh:
             touched = None  # discovered from the write output below
-            paths: list[str] = []
+            entries: list[tuple[str, int | None]] = []
         else:
             touched = sorted(r["_bucket"] for r in s.select("_bucket").distinct().collect())
-            paths = [os.path.join(self.root, p) for b in touched for p in man["buckets"].get(str(b), [])]
-        t = self._read_files(paths, schema).withColumn("_bucket", bucket_expr).alias("t")
+            entries = self._entries(man, touched)
+        t = self._read_files(entries, man, schema).withColumn("_bucket", bucket_expr).alias("t")
 
         joined = t.join(s, on=[F.col(f"s.{k}") == F.col(f"t.{k}") for k in KEY_COLUMNS], how="full_outer")
         src_has = F.col("s._lsn").isNotNull()
@@ -431,10 +487,16 @@ class LocalCowTable:
         try:
             # The join output is hash-partitioned on the merge keys; if
             # that shuffle used nb partitions it is ALREADY bucket-
-            # aligned (bucket fn == partition-id fn) and the write can
-            # split by dir with zero movement.  Otherwise pay one
-            # explicit aligning repartition.
-            if int(self.spark.conf.get("spark.sql.shuffle.partitions")) != nb:
+            # aligned (bucket fn == partition-id fn — v2 tables only)
+            # and the write can split by dir with zero movement.
+            # Otherwise pay one explicit aligning repartition.  Legacy
+            # v1 (xxhash64) layouts can never align with Spark's
+            # murmur3 partitioning, so they group rows by the bucket
+            # COLUMN instead — one partition (hence ~one file) per
+            # bucket, correctness by dir value as always.
+            if fmt != 2:
+                final = final.repartition(nb, F.col("_bucket"))
+            elif int(self.spark.conf.get("spark.sql.shuffle.partitions")) != nb:
                 final = final.repartition(nb, *KEY_COLUMNS)
             final.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         finally:
@@ -456,8 +518,8 @@ class LocalCowTable:
                 for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
                     rel = os.path.join("data", f"b{b:05d}_v{ver}_{i}.parquet")
                     os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
-                    rels.append(rel)
-            replaced += man["buckets"].get(str(b), [])
+                    rels.append([rel, sid])
+            replaced += [e if isinstance(e, str) else e[0] for e in man["buckets"].get(str(b), [])]
             new_buckets[str(b)] = rels
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -502,7 +564,12 @@ class LocalCowTable:
         """Rewrite every bucket into a single fresh file (CoW merge churn
         produces small files). Optionally purge tombstones — only safe
         once no staler events can still arrive (e.g. after a full
-        replay). Returns number of buckets rewritten."""
+        replay). Returns number of buckets rewritten.
+
+        Doubles as the v1 -> v2 format migration: it reads EVERY row
+        (via the manifest's own v1 bucket fn), re-buckets with the v2
+        murmur3 key hash, and commits format_version 2 atomically with
+        the rewritten layout."""
         man = self._load()
         if man["schema"] is None:
             return 0
@@ -512,13 +579,20 @@ class LocalCowTable:
         df = self.read()
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        df = df.withColumn("_bucket", self._bucket_expr(nb))
+        df = df.withColumn("_bucket", self._bucket_expr(nb))  # always v2: migrates v1
+        schemas = man.setdefault("schemas", [])
+        sj = schema.jsonValue()
+        try:
+            sid = schemas.index(sj)
+        except ValueError:
+            schemas.append(sj)
+            sid = len(schemas) - 1
         tmp = os.path.join(self.root, f"_tmp_compact_{uuid.uuid4().hex[:8]}")
         # repartition on the KEY with nb partitions: partition i holds
         # exactly bucket i (same murmur3 pmod), one file per bucket
         df.repartition(nb, *KEY_COLUMNS).write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
-        old = [p for fs in man["buckets"].values() for p in fs]
-        new_buckets: dict[str, list[str]] = {}
+        old = [e if isinstance(e, str) else e[0] for fs in man["buckets"].values() for e in fs]
+        new_buckets: dict[str, list] = {}
         for b in range(nb):
             bdir = os.path.join(tmp, f"_bucket={b}")
             rels = []
@@ -526,12 +600,13 @@ class LocalCowTable:
                 for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
                     rel = os.path.join("data", f"b{b:05d}_v{ver}_{i}.parquet")
                     os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
-                    rels.append(rel)
+                    rels.append([rel, sid])
             if rels:
                 new_buckets[str(b)] = rels
         shutil.rmtree(tmp, ignore_errors=True)
         man["version"] = ver
         man["buckets"] = new_buckets
+        man["format_version"] = 2  # v1 tables are fully re-bucketed above
         self._write_manifest(man)
         for rel in old:
             try:
@@ -590,10 +665,15 @@ class IcebergTable:
         # tombstone: nulled data columns; live row: source values.
         # `ts` doubles as a data column on the target (spec column),
         # which the source carries — handled like any other data col.
-        set_data = ",\n              ".join(
-            f"t.{c} = CASE WHEN s.is_delete THEN NULL ELSE s.{c} END" for c in data_cols
+        # ONE assignment list (data + ts + system columns) so a source
+        # with no data columns still yields valid SQL — the pre-r3
+        # string-join emitted "UPDATE SET , t.ts = ..." in that case.
+        set_clauses = (
+            [f"t.{c} = CASE WHEN s.is_delete THEN NULL ELSE s.{c} END" for c in data_cols]
+            + ["t.ts = CASE WHEN s.is_delete THEN NULL ELSE s.ts END",
+               "t._op_ts = s.ts", "t._lsn = s.lsn", "t._deleted = s.is_delete"]
         )
-        set_ts = "t.ts = CASE WHEN s.is_delete THEN NULL ELSE s.ts END"
+        set_all = ",\n              ".join(set_clauses)
         ins_cols = ", ".join(
             KEY_COLUMNS + data_cols + ["ts", "_op_ts", "_lsn", "_deleted"]
         )
@@ -607,28 +687,69 @@ class IcebergTable:
             USING {source_view} s
             ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
             WHEN MATCHED AND {guard} THEN UPDATE SET
-              {set_data},
-              {set_ts},
-              t._op_ts = s.ts,
-              t._lsn = s.lsn,
-              t._deleted = s.is_delete
+              {set_all}
             WHEN NOT MATCHED THEN INSERT ({ins_cols})
               VALUES ({ins_vals})
         """
 
-    def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default") -> None:
-        # idempotent batch skip via the last snapshot's summary props
-        last = self.spark.sql(
-            f"SELECT summary FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1"
+    # How far back to scan snapshot summaries for the replay-skip
+    # marker.  Mirrors LocalCowTable.LEDGER_CAP: a batch older than the
+    # window re-merges as a NO-OP anyway (the (ts, lsn) guard rejects
+    # every stale event), so a bounded scan is safe.
+    MARKER_SCAN = 512
+
+    def _seen(self, batch_id: int, scope: str) -> bool:
+        """True if a recent snapshot already carries this (scope,
+        batch_id) marker in its SUMMARY.  Summaries — not table
+        properties: a table property is commit-level config, never
+        surfaced per-snapshot, so a marker stored there could neither
+        be scanned per-batch nor be atomic with the data commit."""
+        rows = self.spark.sql(
+            f"SELECT summary FROM {self.identifier}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT {self.MARKER_SCAN}"
         ).collect()
-        if last and last[0]["summary"].get("dipper.scope") == scope and \
-                int(last[0]["summary"].get("dipper.batch_id", -1)) >= batch_id:
+        return any(
+            r["summary"].get("dipper.scope") == scope
+            and r["summary"].get("dipper.batch_id") == str(batch_id)
+            for r in rows
+        )
+
+    def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default") -> None:
+        if self._seen(batch_id, scope):
             return
         src_cols = [c for c in collapsed.columns if c != "ts"] + ["ts"]
         collapsed.createOrReplaceTempView("_dipper_src")
-        self.spark.sql(f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-                       f"('dipper.scope' = '{scope}', 'dipper.batch_id' = '{batch_id}')")
-        self.spark.sql(self.merge_sql(src_cols))
+        stmt = self.merge_sql(src_cols)
+        # Attach the marker to the MERGE's OWN snapshot summary so
+        # marker and data commit atomically (a crash can never record
+        # an unapplied batch, and a recorded batch is always applied).
+        # Spark exposes this via Iceberg's CommitMetadata thread-local;
+        # from PySpark it needs the JVM bridge.  If the bridge is
+        # unavailable (e.g. py4j callback server off), run the MERGE
+        # unmarked: the skip optimization is lost but correctness
+        # stands — a replayed MERGE is a no-op under the (ts, lsn)
+        # guard (layer 3 of the exactly-once story).
+        try:
+            jvm = self.spark._jvm  # noqa: SLF001 — py4j gateway, documented Iceberg pattern
+            props = jvm.java.util.HashMap()
+            props.put("dipper.scope", scope)
+            props.put("dipper.batch_id", str(batch_id))
+
+            class _Run:
+                def __init__(self, spark, sql):
+                    self._spark, self._sql = spark, sql
+
+                def call(self):
+                    self._spark.sql(self._sql)
+
+                class Java:
+                    implements = ["java.util.concurrent.Callable"]
+
+            jvm.org.apache.iceberg.spark.CommitMetadata.withCommitProperties(
+                props, _Run(self.spark, stmt), jvm.java.lang.Void._java_lang_class
+            )
+        except Exception:
+            self.spark.sql(stmt)
 
     def snapshot(self) -> DataFrame:
         return (

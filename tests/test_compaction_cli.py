@@ -28,8 +28,9 @@ def test_compact_preserves_state(spark, tmp_path):
     man = table._load()
     assert man["version"] == man_before["version"] + 1
     for fs in man["buckets"].values():
-        for rel in fs:
+        for rel, sid in fs:  # [rel path, schema id] entries (format v2, r3)
             assert os.path.exists(os.path.join(str(tmp_path / "tbl"), rel))
+            assert man["schemas"][sid] == man["schema"]
 
 
 def test_compact_drop_tombstones(spark, tmp_path):

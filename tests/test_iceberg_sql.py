@@ -70,3 +70,14 @@ def test_merge_sql_no_dangling_source_refs(spark):
     sql = _sql(spark)
     refs = set(re.findall(r"s\.(\w+)", sql))
     assert refs <= set(SOURCE_COLS), refs - set(SOURCE_COLS)
+
+
+def test_merge_sql_no_data_columns_still_parses(spark):
+    """A source carrying ONLY keys + engine metadata (no data columns)
+    must still produce valid SQL — the pre-r3 builder emitted
+    'UPDATE SET , t.ts = ...' here (ADVICE r2, low)."""
+    cols = KEY_COLUMNS + ["ts", "lsn", "is_delete", "n_events", "n_unique"]
+    sql = IcebergTable(spark, "lake.db.transcripts").merge_sql(cols)
+    assert "SET ," not in sql and ", ," not in sql
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(sql)  # raises on syntax errors

@@ -29,12 +29,43 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True, na_position="last")
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class: the driver's value hash is type-sensitive
+    (int 7 != float 7.0), so int-vs-float column mismatches must FAIL
+    locally too (fn_math_decimal escaped r1/r2 because this replica
+    compared values at tolerance without comparing dtypes)."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        for v in s:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return "other"
+    return "other"
+
+
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if list(a.columns) != list(b.columns):
         return f"columns {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return f"rows {len(a)} vs {len(b)}"
     for c in a.columns:
+        ka, kb = _dtype_class(a[c]), _dtype_class(b[c])
+        if ka != kb:
+            return f"col {c} dtype class {ka} ({a[c].dtype}) vs {kb} ({b[c].dtype})"
         av, bv = a[c].tolist(), b[c].tolist()
         def isnull(v):
             if v is None:
