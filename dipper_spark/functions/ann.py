@@ -106,20 +106,29 @@ def probe_rows(qsig: DataFrame, bands: int, rows: int, multiprobe: int = 1) -> D
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str = "embedding",
                id_col: str = "vec_id") -> DataFrame:
-    """(id, cell) — nearest-centroid assignment in ONE pass: cross-join
-    the (tiny, broadcast) centroid table, JVM dot products, min_by.
-    At 10^9 vectors this is the standard IVF build: linear scan, no
-    iteration (centroids here are deterministic samples, not k-means —
-    good enough for cell partitioning, zero training passes)."""
-    c = centroids.select(F.col("cell"), F.col(vec_col).alias("_c"))
-    d = dot_product(F.col(vec_col), F.col("_c")) / (
-        F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
-        * F.sqrt(dot_product(F.col("_c"), F.col("_c")))
-    )
-    pairs = corpus.crossJoin(F.broadcast(c)).select(
-        F.col(id_col).alias("id"), F.col("cell"), d.alias("_sim")
-    )
-    return pairs.groupBy("id").agg(F.max_by("cell", F.col("_sim")).alias("cell"))
+    """(id, cell) — nearest-centroid assignment as ONE map-only
+    projection: the centroid table is tiny by construction (n_cells
+    rows), so it is collected and inlined as unit-normalized literal
+    arrays; cell = argmax dot(v, c/|c|) via array_max over (sim, cell)
+    structs.  argmax of the normalized dot IS argmax cosine (|v| is a
+    constant positive factor per row).  No crossJoin, no groupBy, no
+    shuffle — linear at 10^9 vectors (where the result would be
+    precomputed once as a partition column anyway).  Centroids here
+    are deterministic samples, not k-means — good enough for cell
+    partitioning, zero training passes."""
+    import math
+
+    rows = centroids.select(F.col("cell"), F.col(vec_col).alias("_c")).collect()
+    entries = []
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r["_c"])) or 1.0
+        lit = F.array(*[F.lit(float(x) / norm) for x in r["_c"]])
+        entries.append(F.struct(
+            dot_product(F.col(vec_col), lit).alias("s"),
+            F.lit(int(r["cell"])).alias("c"),
+        ))
+    best = F.array_max(F.array(*entries))
+    return corpus.select(F.col(id_col).alias("id"), best["c"].alias("cell"))
 
 
 def sample_centroids(corpus: DataFrame, k: int, vec_col: str = "embedding",

@@ -117,24 +117,39 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (from LSH) -> components -> one canonical doc per component.  Each
     round is two hash joins + a groupBy over the edge list — fully
     distributed; the driver only checks a converged flag per round.
-    (At 10^9 edges the constant-factor upgrade is the alternating
-    large-star/small-star iteration — same join shape.)"""
+    (At 10^9 edges use `connected_components_star` below — the
+    alternating large-star/small-star iteration converges in
+    O(log^2 n) rounds regardless of diameter.)
+
+    Raises RuntimeError if the loop exhausts max_iter without
+    converging — unconverged labels are silently-wrong components.
+    The returned DataFrame is NOT cached; the loop's intermediates
+    are unpersisted before returning.
+    """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).persist()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
         )
+        # localCheckpoint, NOT persist: `labels` appears twice in this
+        # round's plan, so without lineage truncation the logical plan
+        # tree DOUBLES per round — Catalyst re-analysis and AQE's
+        # explainString go exponential after ~10 rounds even though
+        # the cached data is tiny.  Checkpoint-per-round is the
+        # standard iterative-graph practice (GraphFrames does the
+        # same); it also materializes eagerly.
         new_labels = (
             labels.select("id", "label").unionAll(nbr)
             .groupBy("id").agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -143,12 +158,108 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter > max_iter); raise max_iter or use "
+            f"connected_components_star (O(log^2 n) rounds)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the 10^9-edge kernel: converges in O(log^2 n) rounds
+    independent of graph diameter, vs O(diameter) for label
+    propagation, and each round is one groupBy over the edge list.
+
+      large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      small-star(u): over edges directed high->low (u > v), m = min(N⁻(u) ∪ {u});
+                     emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m
+
+    Fixpoint: every edge points directly at its component's min id
+    (a star).  Both steps are a single shuffle on the center node —
+    no joins at all — so a round moves exactly |E| tuples of 16 bytes.
+    Same contract as `connected_components`: returns an uncached
+    (id, component) frame, raises on non-convergence.
+    """
+    # canonical undirected edge set, self-loops dropped.  Every round
+    # below references its input edge set several times (union of both
+    # directions + join back with the mins), so each round's frame is
+    # localCheckpoint-ed: without lineage truncation the logical plan
+    # tree grows ~10x per round and Catalyst analysis goes exponential
+    # (measured: a 6-node chain hung for minutes in AQE explainString).
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("id")).unionAll(e.select(F.col("v").alias("id")))
+        .distinct().localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-insensitive set fingerprint, no overflow
+            # (ANSI sum on xxhash64 values overflows long)
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return int(r["n"]), int(r["h"])
+
+    converged = False
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        # large-star: m(u) = min(Γ(u) ∪ {u}); attach every strictly-larger
+        # neighbor to m.  Implemented as groupBy-min + a co-partitioned
+        # join back (NOT collect_set/window: a 10^8-member star would
+        # otherwise materialize one giant neighbor array in a single
+        # task — min's map-side partial aggregation absorbs the skew).
+        both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            both.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: ls edges point high->low (u > v, since m <= u < w);
+        # connect all of u's smaller neighbors AND u itself to their min
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins2.select("u", F.col("m").alias("v")))  # center edge: u > m always
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage (see above)
+        )
+        new_fp = _fingerprint(ss)
+        e = ss
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+    # fixpoint edges are (member, root) stars; isolated roots map to themselves
+    return (
+        nodes.join(e.withColumnsRenamed({"u": "id", "v": "component"}), "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -41,13 +41,21 @@ def sink_parquet_partitioned(spark, d):
     )
 
 
-@q("source_rate_stream")  # rows-only: synthetic source
+@q("source_rate_stream", """
+SELECT 500 AS n, CAST(1 AS BOOLEAN) AS values_gapless
+""")
 def source_rate_stream(spark, d):
-    """Streaming rate source smoke (fixed row count via availableNow)."""
+    """Streaming rate source, promoted from rows-only to a hash-checked
+    contract.  Uses `rate-micro-batch` (fixed rows per batch, epoch
+    pinned) rather than `rate` (whose availableNow offset is
+    wall-clock-based: 0 s elapsed -> 0 rows): one availableNow batch
+    delivers exactly rowsPerBatch rows, and the `value`s must be the
+    gapless sequence 0..n-1 — the source's documented semantics."""
     name = f"rate_{uuid.uuid4().hex[:8]}"
     s = (
-        spark.readStream.format("rate").option("rowsPerSecond", "500")
-        .option("numPartitions", "2").load()
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "500").option("numPartitions", "2")
+        .option("startTimestamp", "0").load()
     )
     qy = (
         s.writeStream.format("memory").queryName(name)
@@ -55,7 +63,12 @@ def source_rate_stream(spark, d):
     )
     qy.awaitTermination()
     return spark.table(name).agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("value").alias("n_distinct")
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("value").alias("nd"),
+        F.max("value").alias("mx"),
+    ).select(
+        F.col("n").cast("int").alias("n"),
+        ((F.col("nd") == F.col("n")) & (F.col("mx") == F.col("n") - 1)).alias("values_gapless"),
     )
 
 
@@ -112,11 +125,9 @@ def text_stopword_ratio(spark, d):
     )
 
 
-@q("text_langid_heuristic")  # rows-only: heuristic classifier, no SQL twin
-def text_langid_heuristic(spark, d):
+def _langid_predict():
     """Character-n-gram language-ID heuristic as a vectorized pandas UDF
-    (profile table broadcast via closure).  Returns predicted vs actual
-    for accuracy inspection."""
+    (profile table broadcast via closure)."""
 
     @pandas_udf("string")
     def predict(texts: pd.Series) -> pd.Series:
@@ -131,6 +142,10 @@ def text_langid_heuristic(spark, d):
         def score(t: str) -> str:
             if not t:
                 return "xx"
+            # CJK block dominance -> zh (the n-gram profiles are Latin-only)
+            cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+            if cjk > 0.2 * len(t):
+                return "zh"
             best, best_n = "en", -1
             low = t.lower()
             for lang, grams in profiles.items():
@@ -141,8 +156,51 @@ def text_langid_heuristic(spark, d):
 
         return texts.map(score)
 
+    return predict
+
+
+# Deterministic planted texts with real per-language n-gram structure.
+# The harness `documents.lang` column is a synthetic label UNcorrelated
+# with the text content (all docs share one English-ish vocabulary), so
+# classifier accuracy is measured on these instead — the same
+# invariant->boolean contract pattern the ANN queries use.
+_LANGID_PLANTED = [
+    ("en", "the thing is that everything during the morning and the evening was standing there"),
+    ("en", "another anthem rings in the hand and the band was singing along the landing"),
+    ("de", "der richter sprach die einigung durch ein schnelles schreiben in dieser einrichtung"),
+    ("de", "ich möchte einen schönen deutschen schäferhund der durch die schule schleicht"),
+    ("fr", "le gouvernement de la république présente les documents pendant le moment de le dire"),
+    ("fr", "les enfants de le quartier prennent le temps de chanter lentement les chansons"),
+    ("es", "los hermanos de la familia cantar y bailar juntos varios días en la casa de los abuelos"),
+    ("es", "la organización de los trabajadores presentó la información de la región a los vecinos"),
+    ("zh", "这是一个用于测试语言识别的中文句子其中包含许多汉字字符以便分类器能够正确识别"),
+    ("zh", "大规模数据处理引擎需要对文本进行语言识别和质量评估然后进行重复数据删除"),
+]
+
+
+@q("text_langid_heuristic", """
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       CAST(1 AS BOOLEAN) AS planted_acc_ok,
+       CAST(1 AS BOOLEAN) AS domain_ok
+""")
+def text_langid_heuristic(spark, d):
+    """Language-ID heuristic promoted to a hash-checked contract:
+    (a) every prediction over the real corpus lands in the closed label
+    set, (b) accuracy on deterministic PLANTED texts (which, unlike the
+    synthetic `lang` column, actually carry per-language n-gram
+    structure) is 100%, (c) the corpus row count matches the table."""
+    predict = _langid_predict()
     docs = load(spark, d, "documents")
-    return docs.select("doc_id", F.col("lang").alias("actual"), predict("text").alias("predicted"))
+    domain = F.array([F.lit(x) for x in ("en", "de", "fr", "es", "zh", "xx")])
+    real = docs.select(predict("text").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.array_contains(domain, F.col("p"))).alias("domain_ok"),
+    )
+    planted = spark.createDataFrame(_LANGID_PLANTED, "lang string, text string")
+    acc = planted.select((predict("text") == F.col("lang")).cast("int").alias("hit")).agg(
+        (F.sum("hit") == F.lit(len(_LANGID_PLANTED))).alias("planted_acc_ok")
+    )
+    return real.crossJoin(acc).select("n_docs", "planted_acc_ok", "domain_ok")
 
 
 @q("text_rolling_fingerprint", """
@@ -169,12 +227,17 @@ def text_rolling_fingerprint(spark, d):
     )
 
 
-@q("stream_binlog_tail")  # rows-only: engine-generated changelog, not a harness view
+@q("stream_binlog_tail", """
+SELECT CAST(1 AS BOOLEAN) AS count_match, CAST(1 AS BOOLEAN) AS lsn_match,
+       CAST(1 AS BOOLEAN) AS fingerprint_match
+""")
 def stream_binlog_tail(spark, d):
-    """Custom binlog source (op C2, Python DataSource API) end to end:
-    tail a seeded changelog through `dipper_binlog`, count delivered
-    events and distinct lsns.  Deterministic: ChangelogSpec(seed=11,
-    n_conv=120) always delivers the same events."""
+    """Custom binlog source (op C2, Python DataSource API), promoted
+    from rows-only to a checkable contract: the stream-delivered log
+    must match a BATCH parquet read of the same chunk dir on (a) event
+    count, (b) max lsn, (c) an order-insensitive xor fingerprint over
+    (lsn, conv_id, turn_idx) — i.e. the custom source delivers exactly
+    the log, no more, no less.  Deterministic: ChangelogSpec(seed=11)."""
     from ..streaming.binlog_source import BinlogDataSource
     from ..testkit.gen import ChangelogSpec, gen_changelog
 
@@ -187,16 +250,26 @@ def stream_binlog_tail(spark, d):
         pass  # already registered in this session
     s = spark.readStream.format("dipper_binlog").option("path", work).load()
     name = f"binlog_{uuid.uuid4().hex[:8]}"
+    fingerprint = [
+        F.count(F.lit(1)).alias("n"),
+        F.max("lsn").alias("max_lsn"),
+        F.expr("bit_xor(xxhash64(lsn, conv_id, turn_idx))").alias("fp"),
+    ]
     qy = (
-        s.groupBy()
-        # distinct aggs are unsupported on streams; count + max(lsn) is
-        # an equally deterministic fingerprint of the delivered log
-        .agg(F.count(F.lit(1)).alias("n_delivered"), F.max("lsn").alias("max_lsn"))
+        s.groupBy().agg(*fingerprint)
         .writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
     )
     qy.awaitTermination()
-    return spark.table(name)
+    got = spark.table(name)
+    want = spark.read.parquet(work).agg(*fingerprint)
+    return got.crossJoin(
+        want.withColumnsRenamed({"n": "bn", "max_lsn": "bmax", "fp": "bfp"})
+    ).select(
+        (F.col("n") == F.col("bn")).alias("count_match"),
+        (F.col("max_lsn") == F.col("bmax")).alias("lsn_match"),
+        (F.col("fp") == F.col("bfp")).alias("fingerprint_match"),
+    )
 
 
 # ------------------------------------------------ stateful streaming (C20) ---

@@ -79,41 +79,167 @@ def dedup_cluster_canonical(spark, d):
     (the component's min doc_id; dedup keeps it, drops the rest).
     Candidates here are shingle-sharing pairs so DuckDB's recursive
     CTE can verify the full pipeline exactly; the 100 TB path feeds
-    LSH candidates (dedup_minhash_lsh) into the same component step."""
+    LSH candidates (dedup_minhash_lsh) into the same component step.
+
+    Components via the large-star/small-star kernel (O(log^2 n)
+    rounds, join-free rounds — the 10^9-edge path); property-tested
+    equal to min-label propagation in tests/test_similarity_multimodal."""
     docs = load(spark, d, "documents")
     sh = sim.shingles(docs)
+    pairs = _exact_pairs_via_shingles(sh, 0.1)
+    comp = sim.connected_components_star(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("canonical"))
+
+
+def _exact_pairs_via_shingles(sh, threshold: float):
+    """Ground-truth near-dup pairs: shingle-sharing candidates -> exact
+    Jaccard >= threshold.  Exhaustive for threshold > 0 (any pair with
+    nonzero Jaccard shares >= 1 shingle), no all-pairs join."""
     a, b = sh.alias("a"), sh.alias("b")
     cand = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    pairs = sim.exact_jaccard_pairs(sh, cand).filter(F.col("jaccard") >= 0.1)
-    comp = sim.connected_components(pairs.select("id_a", "id_b"))
-    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("canonical"))
+    return sim.exact_jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
-@q("dedup_minhash_lsh")  # rows-only: LSH banding has no SQL equivalent
+@q("dedup_minhash_lsh", """
+SELECT CAST(1 AS BOOLEAN) AS nonempty,
+       CAST(1 AS BOOLEAN) AS recall_high_sim_ok,
+       CAST(1 AS BOOLEAN) AS precision_ok
+""")
 def dedup_minhash_lsh(spark, d):
     """Full MinHash+LSH near-dup pipeline (shingle -> minhash -> band ->
-    bucket-join -> exact verify).  Deterministic (xxhash64 everywhere)."""
+    bucket-join -> exact verify), promoted from rows-only to a
+    hash-checked contract (the ANN queries' invariant->boolean
+    pattern): (a) output nonempty, (b) RECALL — every ground-truth
+    pair with exact Jaccard >= 0.8 is found (8x4 banding S-curve
+    recall at s=0.8 is ~0.985, and the harness's planted dups sit at
+    s >= 0.9 where it is ~0.9999; deterministic xxhash64 makes the
+    check stable), (c) PRECISION — every emitted pair really has exact
+    Jaccard >= the 0.5 threshold (verifies the exact-verify stage
+    against an independently computed pair set)."""
     docs = load(spark, d, "documents")
-    out = sim.minhash_near_dups(docs, threshold=0.5)
-    return out.orderBy("id_a", "id_b")
+    lsh = sim.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+
+    sh = sim.shingles(docs)
+    truth05 = _exact_pairs_via_shingles(sh, 0.5).select("id_a", "id_b")
+    truth08 = _exact_pairs_via_shingles(sh, 0.8).select("id_a", "id_b")
+
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_missed = truth08.join(lsh, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    n_false = lsh.join(truth05, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false")
+    )
+    return (
+        n_lsh.crossJoin(n_missed).crossJoin(n_false)
+        .select(
+            (F.col("n_lsh") > 0).alias("nonempty"),
+            (F.col("n_missed") == 0).alias("recall_high_sim_ok"),
+            (F.col("n_false") == 0).alias("precision_ok"),
+        )
+    )
 
 
-@q("dedup_minhash_signatures")  # rows-only (signature internals)
+@q("dedup_minhash_signatures", """
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       CAST(1 AS BOOLEAN) AS k_ok,
+       CAST(1 AS BOOLEAN) AS deterministic_ok,
+       CAST(1 AS BOOLEAN) AS agreement_separates
+""")
 def dedup_minhash_signatures(spark, d):
-    docs = load(spark, d, "documents").filter(F.col("doc_id") < 50)
-    sigs = sim.minhash_signatures(sim.shingles(docs), k=16)
-    return sigs.select("id", F.size("sig").alias("k"),
-                       F.element_at("sig", 1).alias("h0")).orderBy("id")
+    """MinHash signatures promoted to a hash-checked contract:
+    (a) one signature per document, (b) every signature has exactly k
+    slots, (c) recomputing from scratch is bit-identical (the
+    "permutations" are stateless xxhash64 mixes), (d) positional
+    signature agreement separates planted near-dups (exact Jaccard
+    >= 0.8 -> expected agreement ~= Jaccard >= ~0.8) from shifted
+    far pairs (agreement ~= 0).  (d) is the estimator property that
+    makes MinHash usable as a Jaccard sketch at all."""
+    k = 16
+    docs = load(spark, d, "documents")
+    sh = sim.shingles(docs)
+    sigs = sim.minhash_signatures(sh, k=k)
+    sigs2 = sim.minhash_signatures(sim.shingles(docs), k=k)
+
+    base = sigs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.size("sig") == k).alias("k_ok"),
+    )
+    det = (
+        sigs.join(sigs2.withColumnsRenamed({"sig": "sig2"}), "id")
+        .agg(F.min(F.col("sig") == F.col("sig2")).alias("deterministic_ok"))
+    )
+
+    def agreement(pairs):
+        sa = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+        sb = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+        eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+        return (
+            pairs.join(sa, "id_a").join(sb, "id_b")
+            .select((F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / k).alias("agree"))
+        )
+
+    near = _exact_pairs_via_shingles(sh, 0.8).select("id_a", "id_b")
+    ids = sigs.select(F.col("id").alias("id_a"))
+    far = (
+        ids.join(sigs.select((F.col("id") - 101).alias("id_a"), F.col("id").alias("id_b")), "id_a")
+        .join(near, ["id_a", "id_b"], "left_anti")
+    )
+    sep = (
+        agreement(near).agg(F.avg("agree").alias("na"))
+        .crossJoin(agreement(far).agg(F.avg("agree").alias("fa")))
+        .select(((F.col("na") >= 0.6) & (F.col("fa") <= 0.2)).alias("agreement_separates"))
+    )
+    return base.crossJoin(det).crossJoin(sep).select(
+        "n_docs", "k_ok", "deterministic_ok", "agreement_separates"
+    )
 
 
-@q("dedup_simhash")  # rows-only (bit-level fingerprint)
+@q("dedup_simhash", """
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       CAST(1 AS BOOLEAN) AS all_nonneg,
+       CAST(1 AS BOOLEAN) AS near_lt_far
+""")
 def dedup_simhash(spark, d):
-    docs = load(spark, d, "documents").filter(F.col("doc_id") < 50)
-    return sim.simhash64(docs).orderBy("id")
+    """SimHash promoted to a hash-checked contract: (a) one fingerprint
+    per doc, (b) bit 63 clear (fits signed int64), (c) the Hamming
+    metric SEPARATES: mean Hamming distance over planted near-dup
+    pairs (exact Jaccard >= 0.8) is at least 8 bits below the mean
+    over shifted far pairs — the property that makes SimHash a usable
+    near-dup filter."""
+    docs = load(spark, d, "documents")
+    fp = sim.simhash64(docs)
+    base = fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.col("simhash") >= 0).alias("all_nonneg"),
+    )
+
+    fa = fp.withColumnsRenamed({"id": "id_a", "simhash": "fp_a"})
+    fb = fp.withColumnsRenamed({"id": "id_b", "simhash": "fp_b"})
+
+    def avg_hamming(pairs):
+        return (
+            pairs.join(fa, "id_a").join(fb, "id_b")
+            .select(F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("h"))
+            .agg(F.avg("h").alias("avg_h"))
+        )
+
+    near = _exact_pairs_via_shingles(sim.shingles(docs), 0.8).select("id_a", "id_b")
+    far = (
+        fp.select(F.col("id").alias("id_a"))
+        .join(fp.select((F.col("id") - 101).alias("id_a"), F.col("id").alias("id_b")), "id_a")
+        .join(near, ["id_a", "id_b"], "left_anti")
+    )
+    sep = (
+        avg_hamming(near).withColumnsRenamed({"avg_h": "nh"})
+        .crossJoin(avg_hamming(far).withColumnsRenamed({"avg_h": "fh"}))
+        .select((F.col("nh") + 8 <= F.col("fh")).alias("near_lt_far"))
+    )
+    return base.crossJoin(sep).select("n_docs", "all_nonneg", "near_lt_far")
 
 
 @q("ann_cosine_lsh", """

@@ -100,7 +100,18 @@ class BinlogStreamReader(DataSourceStreamReader):
         return iter(tbl.to_batches())
 
     def commit(self, end: dict) -> None:
-        pass  # a socket-backed broker would ack offsets here
+        # a socket-backed broker would ack offsets here.  Locally, seed
+        # the pacing counter from the committed offset: after a RESTART
+        # _last starts at 0, and without this clamp a paced
+        # latestOffset() could sit below the checkpointed start for
+        # several polls on a large backlog (relying on the runner
+        # planning empty batches for end < start — version-dependent).
+        # commit() runs in the same offsets-runner process as
+        # latestOffset(), so the clamp is visible to it; the exposure
+        # window shrinks to at most the first poll before any commit,
+        # which partitions() already handles (empty range for
+        # end < start).
+        self._last = max(self._last, int(end["chunk"]))
 
 
 class BinlogDataSource(DataSource):

@@ -227,3 +227,46 @@ def test_connected_components_chain(spark):
     )
     comp = {r.id: r.component for r in sim.connected_components(pairs).collect()}
     assert set(comp.values()) == {0} and len(comp) == 6
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """Property: the large-star/small-star kernel produces the same
+    partition into components as min-label propagation on random
+    graphs (the 10^9-edge upgrade must be a drop-in replacement)."""
+    import random
+
+    for seed in (7, 19, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = {(min(a, b), max(a, b))
+                 for a, b in (sorted(rng.sample(range(n), 2)) for _ in range(70))}
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a bigint, id_b bigint"
+        )
+        lp = {r.id: r.component for r in sim.connected_components(pairs).collect()}
+        st = {r.id: r.component for r in sim.connected_components_star(pairs).collect()}
+        assert st == lp, f"seed {seed}: star != label-prop"
+
+
+def test_connected_components_star_chain_and_cliques(spark):
+    """Long chain (diameter stress — star converges in O(log^2 n)
+    rounds) and disjoint cliques."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint")
+    comp = {r.id: r.component for r in sim.connected_components_star(chain).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 41
+
+    cliq = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (10, 11), (11, 12), (10, 12)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.component for r in sim.connected_components_star(cliq).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A diameter-5 chain cannot converge in 1 round — the guard must
+    raise instead of returning silently-wrong split components."""
+    import pytest as _pt
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(5)], "id_a bigint, id_b bigint")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        sim.connected_components(pairs, max_iter=1)

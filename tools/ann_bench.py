@@ -1,0 +1,219 @@
+"""ANN-at-scale benchmark (VERDICT r2 "Next round" #6): prove the
+sublinear index pays for itself beyond sf0.1's 1k vectors.
+
+Corpus: N synthetic vectors (default 10^6, dim 64), deterministic and
+JVM-generated (vector[j] = xxhash64(id, j) mapped to [-1, 1]) — no
+driver-side materialization, fully parallel.  Ids 1..20 are planted
+near-neighbors of the query vector (id 0): 0.95*q + 0.05*noise, the
+structure a dedup/near-match corpus has at 100 TB.
+
+Measured (each vs the brute-force scan the oracle-verified
+embedding_cosine_topk query uses):
+  * brute   — broadcast-query full scan + TakeOrderedAndProject(k)
+  * lsh     — random-hyperplane signatures PREBUILT once (they are
+              query-independent; at 100 TB they'd be a materialized
+              column), per-query: broadcast probe-bucket join ->
+              exact verify of candidates only
+  * ivf     — corpus PREWRITTEN partitioned by nearest-centroid cell
+              (partition column = cell, the real IVF layout); per
+              query: read only nprobe cell partitions (partition
+              pruning), exact verify inside them
+
+Reported per method: wall (median of `reps` timed queries), recall@10
+vs brute force, candidate/probed fraction.  Index build walls are
+reported separately (amortized over every future query at deploy
+time).
+
+Usage: python tools/ann_bench.py [--n 1000000] [--dim 64] [--reps 3]
+Also importable: run_ann_scale(spark, n, dim) -> dict (bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BANDS, ROWS = 2, 8  # structured corpus: 16 planes, 8-bit bands
+N_CELLS, NPROBE = 64, 4
+K = 10
+N_PLANTED = 20
+
+
+def _gen_corpus(spark, n: int, dim: int, path: str) -> None:
+    """Deterministic corpus parquet: hash-derived uniform vectors with
+    planted near-neighbors of vector 0.  All JVM expressions."""
+    base = F.array(*[
+        ((F.xxhash64(F.col("id"), F.lit(j)) % 1_000_001) / 500_000.5).cast("double")
+        for j in range(dim)
+    ])
+    df = spark.range(0, n, 1, 64).select(F.col("id").alias("vec_id"), base.alias("embedding"))
+    q = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    planted = F.zip_with(
+        "embedding", "_q", lambda x, y: (F.lit(0.05) * x + F.lit(0.95) * y).cast("double")
+    )
+    out = df.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.when(F.col("vec_id").between(1, N_PLANTED), planted)
+        .otherwise(F.col("embedding")).alias("embedding"),
+    )
+    out.write.mode("overwrite").parquet(path)
+
+
+def _brute_topk(corpus, query, k=K):
+    from dipper_spark.functions.ann import dot_product
+
+    qvec = query.select(F.col("embedding").alias("_q"))
+    cos = dot_product(F.col("embedding"), F.col("_q")) / (
+        F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_product(F.col("_q"), F.col("_q")))
+    )
+    return (
+        corpus.crossJoin(F.broadcast(qvec))
+        .select("vec_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
+                  workdir: str | None = None) -> dict:
+    from dipper_spark.functions import ann
+
+    work = workdir or tempfile.mkdtemp(prefix="dipper_annbench_")
+    corpus_path = os.path.join(work, "corpus")
+    res: dict = {"n_vectors": n, "dim": dim, "k": K, "reps": reps}
+
+    t0 = time.monotonic()
+    _gen_corpus(spark, n, dim, corpus_path)
+    res["gen_wall_s"] = round(time.monotonic() - t0, 2)
+
+    corpus = spark.read.parquet(corpus_path).filter(F.col("vec_id") != 0)
+    query = spark.read.parquet(corpus_path).filter(F.col("vec_id") == 0).select("embedding")
+
+    # ---- brute force (the baseline every method is judged against) ----
+    walls = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        exact_rows = _brute_topk(corpus, query).collect()
+        walls.append(time.monotonic() - t0)
+    exact_ids = {r.vec_id for r in exact_rows}
+    res["brute"] = {"wall_s": round(sorted(walls)[len(walls) // 2], 3),
+                    "probed_fraction": 1.0, "recall_at_10": 1.0}
+
+    # ---- LSH: prebuild the (band, key, id) signature table ----
+    n_planes = BANDS * ROWS
+    t0 = time.monotonic()
+    sig_path = os.path.join(work, "lsh_index")
+    csig = ann.band_rows(
+        ann.signature_bits(corpus, "embedding", n_planes, dim), "vec_id", BANDS, ROWS
+    )
+    csig.write.mode("overwrite").parquet(sig_path)
+    res["lsh_build_wall_s"] = round(time.monotonic() - t0, 2)
+
+    index = spark.read.parquet(sig_path)
+    qsig = ann.signature_bits(query, "embedding", n_planes, dim)
+    probes = ann.probe_rows(qsig, BANDS, ROWS, multiprobe=1)
+    walls, lsh_ids, n_cand = [], set(), 0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        cands = index.join(F.broadcast(probes), ["band", "key"]).select("id").distinct()
+        cand_vecs = corpus.join(cands.withColumnsRenamed({"id": "vec_id"}), "vec_id")
+        rows = _brute_topk(cand_vecs, query).collect()
+        walls.append(time.monotonic() - t0)
+        lsh_ids = {r.vec_id for r in rows}
+    n_cand = cands.count()
+    res["lsh"] = {
+        "wall_s": round(sorted(walls)[len(walls) // 2], 3),
+        "probed_fraction": round(n_cand / n, 4),
+        "recall_at_10": round(len(lsh_ids & exact_ids) / K, 2),
+        "bands": BANDS, "rows": ROWS, "multiprobe": 1,
+    }
+
+    # ---- IVF: prewrite the corpus partitioned by nearest-centroid cell ----
+    t0 = time.monotonic()
+    cents = ann.sample_centroids(corpus, N_CELLS)
+    assign = ann.ivf_assign(corpus, cents)
+    ivf_path = os.path.join(work, "ivf_corpus")
+    (corpus.join(assign.withColumnsRenamed({"id": "vec_id"}), "vec_id")
+     .repartition("cell")  # one file per cell dir, not one per task
+     .write.mode("overwrite").partitionBy("cell").parquet(ivf_path))
+    res["ivf_build_wall_s"] = round(time.monotonic() - t0, 2)
+
+    ivf = spark.read.parquet(ivf_path)
+    from dipper_spark.functions.ann import dot_product
+    qd = dot_product(F.col("embedding"), F.col("_c")) / (
+        F.sqrt(dot_product(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_product(F.col("_c"), F.col("_c")))
+    )
+    probe_cells = [r.cell for r in (
+        query.crossJoin(F.broadcast(cents.select("cell", F.col("embedding").alias("_c"))))
+        .select("cell", qd.alias("_sim")).orderBy(F.desc("_sim")).limit(NPROBE)
+    ).collect()]
+    walls, ivf_ids = [], set()
+    for _ in range(reps):
+        t0 = time.monotonic()
+        cand_vecs = ivf.filter(F.col("cell").isin(probe_cells))  # partition pruning
+        rows = _brute_topk(cand_vecs, query).collect()
+        walls.append(time.monotonic() - t0)
+        ivf_ids = {r.vec_id for r in rows}
+    n_probed = ivf.filter(F.col("cell").isin(probe_cells)).count()
+    res["ivf"] = {
+        "wall_s": round(sorted(walls)[len(walls) // 2], 3),
+        "probed_fraction": round(n_probed / n, 4),
+        "recall_at_10": round(len(ivf_ids & exact_ids) / K, 2),
+        "n_cells": N_CELLS, "nprobe": NPROBE,
+    }
+
+    res["lsh_speedup_vs_brute"] = round(res["brute"]["wall_s"] / res["lsh"]["wall_s"], 2)
+    res["ivf_speedup_vs_brute"] = round(res["brute"]["wall_s"] / res["ivf"]["wall_s"], 2)
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from dipper_spark.session import build_session
+
+    spark = build_session("ann-bench")
+    res = run_ann_scale(spark, args.n, args.dim, args.reps)
+    spark.stop()
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ANN.md"), "w") as f:
+        f.write(f"""# BENCH/ANN.md — ANN at scale ({res['n_vectors']:,} vectors, dim {res['dim']})
+
+Corpus: deterministic hash-derived vectors, {N_PLANTED} planted
+near-neighbors of the query (cosine ~0.95+) — the neighbor structure a
+near-dup corpus has.  Index build is separated from query wall: the
+LSH signature table and the IVF cell layout are query-independent and
+built once per corpus (at 100 TB: a materialized column / the table's
+partition scheme).
+
+| method | query wall (s, median of {res['reps']}) | probed fraction | recall@10 | speedup vs brute |
+|---|---|---|---|---|
+| brute force | {res['brute']['wall_s']} | 1.0 | 1.0 | 1x |
+| LSH ({BANDS}x{ROWS} bands, multiprobe 1) | {res['lsh']['wall_s']} | {res['lsh']['probed_fraction']} | {res['lsh']['recall_at_10']} | {res['lsh_speedup_vs_brute']}x |
+| IVF ({N_CELLS} cells, nprobe {NPROBE}) | {res['ivf']['wall_s']} | {res['ivf']['probed_fraction']} | {res['ivf']['recall_at_10']} | {res['ivf_speedup_vs_brute']}x |
+
+Build walls: corpus gen {res['gen_wall_s']}s, LSH index
+{res['lsh_build_wall_s']}s, IVF partitioned rewrite
+{res['ivf_build_wall_s']}s.
+""")
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

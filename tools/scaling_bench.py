@@ -65,23 +65,25 @@ def canary(max_s: float = 0.45, tries: int = 40) -> float:
     return dt
 
 
-def inner(cores: int, log_dir: str) -> None:
+def inner(cores: int, log_dir: str, collapse: str = "carry", codec: str | None = None) -> None:
     from dipper_spark.plans.replay import replay
     from dipper_spark.session import build_session
     from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
     from dipper_spark.testkit.oracle import state_hash
 
-    spark = build_session(f"scaling-{cores}", cores=cores)
+    extra = {"spark.io.compression.codec": codec} if codec else None
+    spark = build_session(f"scaling-{cores}", cores=cores, extra_conf=extra)
     work = tempfile.mkdtemp(prefix=f"dipper_scale_{cores}_")
 
     # JIT/codegen warm-up (excluded, like session startup)
     warm = ChangelogSpec(seed=1, n_conv=2000, extra_rate=1.0)
     gen_changelog(os.path.join(work, "warm"), warm)
-    replay(spark, os.path.join(work, "warm"), os.path.join(work, "warmtbl"), lineage=False)
+    replay(spark, os.path.join(work, "warm"), os.path.join(work, "warmtbl"),
+           lineage=False, collapse=collapse)
 
     t0 = time.monotonic()
     table, _ = replay(spark, log_dir, os.path.join(work, "table"),
-                      n_salts=16, n_buckets=64, lineage=False)
+                      n_salts=16, n_buckets=64, lineage=False, collapse=collapse)
     table.snapshot().count()
     wall = time.monotonic() - t0
     # hash OUTSIDE the timed region
@@ -98,10 +100,15 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--n-conv", type=int, default=500_000)
     ap.add_argument("--pairs", type=str, default="1:4,2:8,8:32")
+    ap.add_argument("--collapse", type=str, default="carry", choices=["carry", "slim"])
+    ap.add_argument("--codec", type=str, default=None,
+                    help="spark.io.compression.codec override (e.g. zstd)")
+    ap.add_argument("--no-md", action="store_true",
+                    help="don't rewrite BENCH/BASELINE.md (A/B probe runs)")
     args = ap.parse_args()
 
     if args.inner:
-        inner(args.cores, args.log)
+        inner(args.cores, args.log, collapse=args.collapse, codec=args.codec)
         return
 
     from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
@@ -123,11 +130,11 @@ def main() -> None:
     for r in range(args.runs):
         for cores in levels:  # interleaved levels per round
             c = canary()
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--inner", "--cores", str(cores),
-                 "--log", log_dir],
-                capture_output=True, text=True, cwd=REPO, check=True,
-            )
+            cmd = [sys.executable, os.path.abspath(__file__), "--inner", "--cores", str(cores),
+                   "--log", log_dir, "--collapse", args.collapse]
+            if args.codec:
+                cmd += ["--codec", args.codec]
+            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             res = json.loads(line)
             walls[cores].append(res["wall"])
@@ -150,6 +157,8 @@ def main() -> None:
     headline = pair_results[0]
     summary = {
         "metric": "replay throughput scaling efficiency, N -> 4N cores",
+        "collapse": args.collapse,
+        "codec": args.codec or "lz4(default)",
         "n_events": n_events,
         "runs_per_level": args.runs,
         "aggregation": "min wall per level (interference-hardened)",
@@ -162,6 +171,10 @@ def main() -> None:
         "threshold": 0.8,
         "pass": headline["pass"],
     }
+
+    if args.no_md:
+        print(json.dumps(summary))
+        return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     level_rows = "\n".join(
