@@ -99,6 +99,19 @@ def main() -> None:
         extra[f"{name}_rows"] = n
 
     total = round(sum(timings.values()), 3)
+
+    # --- ANN at scale (reported separately, not part of `value`: the
+    # headline suite is the regression gate; this row evidences that
+    # the sublinear index beats brute force once the corpus outgrows
+    # sf0.1's 1k vectors; tools/ann_bench.py --n 1000000 writes the
+    # full 10^6 result to BENCH/ANN.md) ---
+    ann_scale = None
+    ann_n = int(os.environ.get("SPARK_GRAFT_ANN_N", "200000"))
+    if ann_n > 0:
+        from tools.ann_bench import run_ann_scale
+
+        ann_scale = run_ann_scale(spark, n=ann_n, reps=3)
+
     print(
         json.dumps(
             {
@@ -109,6 +122,7 @@ def main() -> None:
                 "sf": sf,
                 "extra": extra,
                 "cpus": CPUS,
+                "ann_scale": ann_scale,
             }
         )
     )

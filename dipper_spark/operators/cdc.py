@@ -121,6 +121,19 @@ def lww_collapse_slim(df: DataFrame, n_salts: int = 8, carry: list[str] | None =
     is left unhinted: AQE broadcasts the winner-lsn side when it is
     small (sandbox scale) and falls back to a shuffle join when a
     batch has too many keys to broadcast (10^9-key backfills).
+
+    WHEN TO USE (measured, round 3 — see BENCH/BASELINE.md): for this
+    engine's transcript-width payloads (tens of bytes) `carry` wins at
+    every parallelism level — A/B at 2.07M events: carry 24.3/13.1 s
+    at local[2]/local[8] vs slim 36.5/51.1 s.  The reason is phase B:
+    on a full backfill the winner-lsn set is about as large as the key
+    set, too big to broadcast, so the semi-join SHUFFLES every decoded
+    source row by lsn — slim then moves MORE total bytes than carry,
+    plus the second scan.  slim pays off only when (payload width >>
+    key+ordering width) AND the winner set is broadcastable (normal
+    incremental micro-batches, where winners per batch are small) —
+    exactly the streaming path, where callers can pass
+    collapse='slim' per batch.
     """
     carry = carry or [c for c in CARRY_COLUMNS if c in df.columns]
     ordk = F.struct(F.col("ts"), F.col("lsn"))

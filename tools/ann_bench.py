@@ -109,28 +109,47 @@ def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
     res["brute"] = {"wall_s": round(sorted(walls)[len(walls) // 2], 3),
                     "probed_fraction": 1.0, "recall_at_10": 1.0}
 
-    # ---- LSH: prebuild the (band, key, id) signature table ----
+    # ---- LSH: prebuild a BUCKET STORE — the index is the corpus laid
+    # out by (band, key) partition, each row carrying its vector, so a
+    # query reads ONLY the probed bucket directories (partition
+    # pruning) and verifies in place.  A first cut that stored bare
+    # (band, key, id) and joined back to the corpus for vectors
+    # measured SLOWER than brute force at 10^6 (the verify join
+    # re-shuffled the whole corpus); the bucket layout is what makes
+    # LSH sublinear in I/O, exactly like IVF's cell partitioning. ----
     n_planes = BANDS * ROWS
     t0 = time.monotonic()
     sig_path = os.path.join(work, "lsh_index")
     csig = ann.band_rows(
         ann.signature_bits(corpus, "embedding", n_planes, dim), "vec_id", BANDS, ROWS
     )
-    csig.write.mode("overwrite").parquet(sig_path)
+    (csig.join(corpus.withColumnsRenamed({"vec_id": "id"}), "id")
+     .repartition("band", "key")
+     .write.mode("overwrite").partitionBy("band", "key").parquet(sig_path))
     res["lsh_build_wall_s"] = round(time.monotonic() - t0, 2)
 
     index = spark.read.parquet(sig_path)
     qsig = ann.signature_bits(query, "embedding", n_planes, dim)
-    probes = ann.probe_rows(qsig, BANDS, ROWS, multiprobe=1)
-    walls, lsh_ids, n_cand = [], set(), 0
+    # O(bands * (1 + rows)) probe buckets — bounded, safe to collect
+    probe_pairs = [(r.band, r.key) for r in
+                   ann.probe_rows(qsig, BANDS, ROWS, multiprobe=1).collect()]
+    from functools import reduce
+    probe_pred = reduce(
+        lambda a, b: a | b,
+        [(F.col("band") == b) & (F.col("key") == k) for b, k in probe_pairs],
+    )
+    walls, lsh_ids = [], set()
     for _ in range(reps):
         t0 = time.monotonic()
-        cands = index.join(F.broadcast(probes), ["band", "key"]).select("id").distinct()
-        cand_vecs = corpus.join(cands.withColumnsRenamed({"id": "vec_id"}), "vec_id")
+        cand_vecs = (
+            index.filter(probe_pred)  # partition pruning: probed dirs only
+            .select(F.col("id").alias("vec_id"), "embedding")
+            .dropDuplicates(["vec_id"])  # a candidate can sit in 2 bands
+        )
         rows = _brute_topk(cand_vecs, query).collect()
         walls.append(time.monotonic() - t0)
         lsh_ids = {r.vec_id for r in rows}
-    n_cand = cands.count()
+    n_cand = index.filter(probe_pred).select("id").distinct().count()
     res["lsh"] = {
         "wall_s": round(sorted(walls)[len(walls) // 2], 3),
         "probed_fraction": round(n_cand / n, 4),
