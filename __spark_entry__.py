@@ -100,7 +100,7 @@ PRIORITY = [
     "embedding_cosine_topk",
     "multimodal_decode_meta",
     "stream_stateful_lww",
-    "join_bucketed_colocated",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -334,6 +334,44 @@ def ann_cosine_ivf(spark, d):
     )
 
 
+@q("dedup_embedding_cosine", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+""")
+def dedup_embedding_cosine(spark, d):
+    """Embedding-cosine near-dup: exact pair finding at a cosine
+    threshold — the embedding-space counterpart of the MinHash/SimHash
+    text paths, full-value-checked against DuckDB's
+    list_cosine_similarity over the same table.
+
+    This is the exact-verify KERNEL (all pairs, correct by
+    construction); it is what runs on the candidate set at scale —
+    candidates come from the LSH bucket join (ann_cosine_lsh) or the
+    IVF cell layout (ann_cosine_ivf), the same machinery
+    tools/ann_bench.py measures sublinear at 10^6 vectors.  All-pairs
+    is only sane at oracle scale, exactly like
+    dedup_ngram_jaccard_exact's 40-doc slice."""
+    from ..functions.ann import dot_product
+
+    e = load(spark, d, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = dot_product(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot_product(F.col("ea"), F.col("ea")))
+        * F.sqrt(dot_product(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("_c"))
+        .filter(F.col("_c") >= 0.45)
+        .select("id_a", "id_b", F.round("_c", 4).alias("cosine"))
+    )
+
+
 @q("multimodal_decode_meta", """
 SELECT doc_id,
        CAST(strlen(text) * 7 % 640 + 1 AS INT) AS width,
