@@ -48,6 +48,38 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def run_canary(spark) -> float:
+    """In-band host-calibration canary (round 4, VERDICT r3 #2): a
+    fixed seeded pure-Spark shuffle+sort job — NO engine code — timed
+    in the same session as the suite.  Cross-round bench numbers on
+    this host are dominated by multi-minute external interference
+    windows (the r3 cdc_replay number looked like a 42% regression and
+    needed a two-tree A/B to adjudicate); dividing engine walls by the
+    canary wall makes host drift one division.  Best-of-2 like every
+    other timed row.  Reference wall on an idle host: ~1.8 s at 8
+    cores (canary_ref in BENCH/BASELINE.md r4)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    wall = None
+    for _ in range(2):
+        t0 = _t.monotonic()
+        df = spark.range(0, 12_000_000, 1, 32).select(
+            (F.col("id") * 2654435761 % 1_000_003).alias("k"),
+            (F.xxhash64("id") % 997).alias("v"),
+        )
+        (
+            df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("s"), F.col("k"))
+            .limit(100)
+            .collect()
+        )
+        w = _t.monotonic() - t0
+        wall = w if wall is None else min(wall, w)
+    return round(wall, 3)
+
+
 def main() -> None:
     from dipper_spark.operators import relational, relational_ext  # noqa: F401
     from dipper_spark.plans.replay import replay
@@ -58,6 +90,9 @@ def main() -> None:
     spark = build_session("dipper-bench", cores=CPUS)
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+
+    # host-calibration canary FIRST (also serves as JVM warm-up)
+    canary_s = run_canary(spark)
 
     # --- flagship: CDC replay ---
     n_conv = max(int(1_200_000 * (sf if sf > 0 else 0.01)), 200)
@@ -117,6 +152,12 @@ def main() -> None:
         from tools.ann_bench import run_ann_scale
 
         ann_scale = run_ann_scale(spark, n=ann_n, reps=3)
+
+    # normalized walls: engine seconds per canary second — host-drift-
+    # free comparison unit across rounds (same canary job every round)
+    extra["canary_s"] = canary_s
+    extra["suite_per_canary"] = round(total / canary_s, 3)
+    extra["cdc_replay_per_canary"] = round(timings["cdc_replay"] / canary_s, 3)
 
     print(
         json.dumps(

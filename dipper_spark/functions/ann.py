@@ -115,10 +115,20 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str = "embeddin
     shuffle — linear at 10^9 vectors (where the result would be
     precomputed once as a partition column anyway).  Centroids here
     are deterministic samples, not k-means — good enough for cell
-    partitioning, zero training passes."""
+    partitioning, zero training passes.
+
+    Plan-size bound: the inlined literals are dim * n_cells doubles
+    (64 cells x 64 dims = 4096 literals ~ 100 KB of plan) — fine for
+    IVF-scale cell counts (<= a few hundred); not for n_cells in the
+    many-thousands, where the old broadcast-join assignment applies.
+    Raises ValueError on an empty centroid frame: F.array() of zero
+    structs would otherwise make array_max yield NULL cells silently."""
     import math
 
     rows = centroids.select(F.col("cell"), F.col(vec_col).alias("_c")).collect()
+    if not rows:
+        raise ValueError("ivf_assign: empty centroid frame (sample_centroids "
+                         "returned 0 rows — empty corpus?)")
     entries = []
     for r in rows:
         norm = math.sqrt(sum(x * x for x in r["_c"])) or 1.0
@@ -140,8 +150,10 @@ def sample_centroids(corpus: DataFrame, k: int, vec_col: str = "embedding",
     ranked = corpus.select(
         F.col(vec_col), F.xxhash64(F.col(id_col).cast("string")).alias("_h")
     ).orderBy("_h").limit(k)
-    # k rows: a global row_number window is fine (single tiny task)
-    w = Window.orderBy("_h")
+    # k rows: a single-partition window over the already-limited frame;
+    # partitionBy(lit(1)) keeps WindowExec from warning about a global
+    # (no-partition) window — same single tiny task either way
+    w = Window.partitionBy(F.lit(1)).orderBy("_h")
     return ranked.select(F.row_number().over(w).alias("cell"), F.col(vec_col))
 
 

@@ -172,7 +172,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
-def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components_star(pairs: DataFrame, max_iter: int = 50,
+                              stats: dict | None = None) -> DataFrame:
     """(id, component) via alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — the 10^9-edge kernel: converges in O(log^2 n) rounds
@@ -187,7 +188,9 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame
     (a star).  Both steps are a single shuffle on the center node —
     no joins at all — so a round moves exactly |E| tuples of 16 bytes.
     Same contract as `connected_components`: returns an uncached
-    (id, component) frame, raises on non-convergence.
+    (id, component) frame, raises on non-convergence.  Pass a dict as
+    `stats` to receive {"rounds": n} (adversarial-scale tests assert
+    the O(log^2 n) round bound with it).
     """
     # canonical undirected edge set, self-loops dropped.  Every round
     # below references its input edge set several times (union of both
@@ -218,7 +221,9 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame
 
     converged = False
     fp = _fingerprint(e)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star: m(u) = min(Γ(u) ∪ {u}); attach every strictly-larger
         # neighbor to m.  Implemented as groupBy-min + a co-partitioned
         # join back (NOT collect_set/window: a 10^8-member star would
@@ -253,6 +258,8 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame
             converged = True
             break
         fp = new_fp
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
     # fixpoint edges are (member, root) stars; isolated roots map to themselves

@@ -98,6 +98,63 @@ def lww_collapse(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None
     )
 
 
+def lww_collapse_dictkey(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None) -> DataFrame:
+    """Salted LWW collapse with a dictionary-encoded phase-1 key
+    (round-4 A/B for the 2->8 scaling pair, VERDICT r3 #3).
+
+    Identical semantics to `lww_collapse`; different phase-1 shuffle
+    key: (xxhash64(conv_id), xxhash64(conv_id, 1), turn_idx, salt) —
+    a 128-bit fixed-width pair instead of the conv_id string — so the
+    big shuffle (every decoded event flows through phase 1) hashes and
+    compares two longs per group probe instead of variable-length
+    strings.  conv_id rides once per group inside the winner struct
+    (map-side combine collapses it before the wire, so shuffle BYTES
+    are ~unchanged; the lever is hash/compare CPU).  Phase 2 re-groups
+    the <= n_salts survivors per key BY THE STRING KEY, so the output
+    keeps the (conv_id, turn_idx) hash-partitioning the downstream
+    merge join reuses exchange-free — alignment identical to
+    `lww_collapse`.
+
+    Collision safety: a 128-bit key collision would merge two
+    conversations' phase-1 groups and can drop a winner.  P(any
+    collision) at 10^10 distinct keys is ~(10^10)^2 / 2^129 ~ 1.5e-19
+    — beyond disk-corruption probability; a single 64-bit key would
+    expect ~3 collisions at that scale, hence the pair.
+
+    Measured A/B vs carry (canary-gated interleaved protocol, 10.4M
+    events): see BENCH/BASELINE.md round-4 section."""
+    carry = carry or [c for c in CARRY_COLUMNS if c in df.columns]
+    ordk = F.struct(F.col("ts"), F.col("lsn"))
+    val = F.struct(F.col("conv_id"), *[F.col(c) for c in carry])
+
+    phase1 = df.groupBy(
+        F.xxhash64(F.col("conv_id")).alias("_k1"),
+        F.xxhash64(F.col("conv_id"), F.lit(1)).alias("_k2"),
+        F.col("turn_idx"),
+        F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salts)).alias("_salt"),
+    ).agg(
+        F.max_by(val, ordk).alias("_w"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count_distinct(F.col("lsn")).alias("_uniq"),
+    )
+
+    phase2 = phase1.select(
+        F.col("_w.conv_id").alias("conv_id"), "turn_idx", "_w", "_cnt", "_uniq"
+    ).groupBy(*KEY_COLUMNS).agg(
+        F.max_by(F.col("_w"), F.struct(F.col("_w.ts"), F.col("_w.lsn"))).alias("_w"),
+        F.sum("_cnt").alias("n_events"),
+        F.sum("_uniq").alias("n_unique"),
+    )
+
+    return phase2.select(
+        *KEY_COLUMNS,
+        *[F.col(f"_w.{c}").alias(c) for c in carry],
+        "n_events",
+        "n_unique",
+        (F.col("_w.op") == F.lit("D")).alias("is_delete"),
+    )
+
+
 def lww_collapse_slim(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None) -> DataFrame:
     """Winner-lsn collapse (ops C7+C8, shuffle-lean variant).
 

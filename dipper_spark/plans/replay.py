@@ -26,6 +26,7 @@ from ..functions.normalize import decode_payload, split_valid_observed
 from ..operators.cdc import (
     absent_payload_columns,
     lww_collapse,
+    lww_collapse_dictkey,
     lww_collapse_slim,
     normalize_winner_text,
 )
@@ -57,7 +58,9 @@ def replay(
     texts (tens of bytes, barely wider than the key tuple).
     'slim' shuffles only (key, ts, lsn) tuples and semi-joins winner
     payloads back (operators.cdc.lww_collapse_slim) — the choice for
-    wide payloads, where shuffle bytes dominate."""
+    wide payloads, where shuffle bytes dominate.  'dictkey' hashes the
+    phase-1 group key to a 128-bit pair (operators.cdc
+    .lww_collapse_dictkey) — measured-wash A/B variant."""
     import uuid as _uuid
 
     from ..streaming.ingest import parse_delay
@@ -65,7 +68,8 @@ def replay(
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
     raw = read_changelog(spark, log_path)
     decoded = decode_payload(raw)
-    do_collapse = lww_collapse_slim if collapse == "slim" else lww_collapse
+    do_collapse = {"slim": lww_collapse_slim, "dictkey": lww_collapse_dictkey}.get(
+        collapse, lww_collapse)
     delay = parse_delay(watermark_delay)
     max_ts = None
 

@@ -47,13 +47,23 @@ class BinlogStreamReader(DataSourceStreamReader):
     — observed runner behavior: the offsets runner (initialOffset/
     latestOffset) is a separate long-lived process, while partitions()
     executes elsewhere and its mutations never reach this instance, so
-    pacing must not depend on them.  After a RESTART the counter
-    resets; the first paced offsets may sit below the checkpoint start
-    (Spark then plans an empty batch — partitions() yields an empty
-    range for end < start) and within a few polls the window passes
-    the checkpoint; any chunk re-read this causes is absorbed by the
-    engine's ledger + (ts, lsn) merge guard, the same layers that make
-    ANY redelivery a no-op."""
+    pacing must not depend on them.
+
+    RESTART semantics (measured, round 4): after a restart the counter
+    resets to 0 and the first paced latestOffset() sits BELOW the
+    checkpointed start.  The runner does NOT discard such an offset —
+    it records it as the batch end, and the NEXT batch starts from it:
+    the stream position rewinds and already-committed chunks re-read
+    (absorbed downstream by the ledger + (ts, lsn) merge guard, but
+    O(committed prefix) wasted reads on a large backlog).  Option
+    `pacingDir` fixes this: the counter is persisted there (tmp+rename;
+    the offsets runner is a single long-lived process, so one writer)
+    and a restarted reader resumes pacing from its last returned
+    offset, which is >= every offset the checkpoint recorded — paced
+    restarts then deliver each chunk exactly once.  ingest() callers
+    point it inside the streaming checkpoint dir.  Without pacingDir,
+    restart-with-pacing is at-least-once at the raw source level
+    (pinned by tests/test_streaming_resume.py)."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -62,7 +72,23 @@ class BinlogStreamReader(DataSourceStreamReader):
         # DSv2 options are case-insensitive (keys arrive lowercased)
         m = options.get("maxchunkspertrigger") or options.get("maxChunksPerTrigger")
         self.max_chunks = int(m) if m else None
+        self.pacing_dir = options.get("pacingdir") or options.get("pacingDir")
         self._last: int = 0  # last offset latestOffset() returned
+        if self.pacing_dir:
+            try:
+                with open(os.path.join(self.pacing_dir, "last_offset.json")) as f:
+                    self._last = int(json.load(f)["chunk"])
+            except (OSError, ValueError, KeyError):
+                pass  # fresh start
+
+    def _persist_last(self) -> None:
+        if not self.pacing_dir:
+            return
+        os.makedirs(self.pacing_dir, exist_ok=True)
+        tmp = os.path.join(self.pacing_dir, "last_offset.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"chunk": self._last}, f)
+        os.replace(tmp, os.path.join(self.pacing_dir, "last_offset.json"))
 
     def _chunks(self) -> list[str]:
         return sorted(
@@ -77,8 +103,10 @@ class BinlogStreamReader(DataSourceStreamReader):
         n = len(self._chunks())
         if self.max_chunks is not None:
             n = min(n, self._last + self.max_chunks)
-        self._last = max(self._last, n)
-        return {"chunk": n}
+        if n > self._last:
+            self._last = n
+            self._persist_last()
+        return {"chunk": self._last if self.max_chunks is not None else n}
 
     def partitions(self, start: dict, end: dict):
         files = self._chunks()

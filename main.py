@@ -50,7 +50,7 @@ def main() -> None:
     r.add_argument("--n-salts", type=int, default=16)
     r.add_argument("--n-buckets", type=int, default=64)
     r.add_argument("--cores", type=int, default=None)
-    r.add_argument("--collapse", choices=["carry", "slim"], default="carry",
+    r.add_argument("--collapse", choices=["carry", "slim", "dictkey"], default="carry",
                    help="carry: payload rides the collapse shuffles (fast for "
                         "short texts); slim: winner-lsn-only collapse + payload "
                         "semi-join (fewer shuffle bytes for wide payloads)")

@@ -81,3 +81,95 @@ def test_merge_sql_no_data_columns_still_parses(spark):
     assert "SET ," not in sql and ", ," not in sql
     parser = spark._jsparkSession.sessionState().sqlParser()
     parser.parsePlan(sql)  # raises on syntax errors
+
+
+# ---- round 4: marker path + MARKER_SCAN window logic (VERDICT r3 #8).
+# No Iceberg runtime exists here, so the snapshot-summary machinery is
+# exercised against a mocked snapshots table + a recording fake session:
+# the scan SQL itself must parse, _seen must honor the bounded window,
+# and merge() must (a) skip when the marker is present, (b) fall back
+# to an unmarked MERGE when the CommitMetadata JVM bridge is absent.
+
+
+class _FakeSpark:
+    """Records sql() calls; returns canned rows for the snapshots scan."""
+
+    def __init__(self, snapshot_summaries):
+        self._summaries = snapshot_summaries  # newest-first, like ORDER BY DESC
+        self.sql_calls = []
+
+    def sql(self, stmt):
+        self.sql_calls.append(stmt)
+        if ".snapshots" in stmt:
+            import re as _re
+
+            limit = int(_re.search(r"LIMIT (\d+)", stmt).group(1))
+
+            class _Res:
+                def __init__(self, rows):
+                    self._rows = rows
+
+                def collect(self):
+                    return self._rows
+
+            return _Res([{"summary": s} for s in self._summaries[:limit]])
+        return None  # the MERGE itself
+
+    @property
+    def _jvm(self):
+        raise RuntimeError("no JVM bridge in fake session")
+
+
+def test_seen_scan_sql_parses(spark):
+    """The snapshots-summary scan is valid Spark SQL."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(
+        f"SELECT summary FROM lake.db.transcripts.snapshots "
+        f"ORDER BY committed_at DESC LIMIT {IcebergTable.MARKER_SCAN}")
+
+
+def test_seen_finds_marker_in_window():
+    fake = _FakeSpark([
+        {"dipper.scope": "ckptA", "dipper.batch_id": "7"},
+        {"other": "x"},
+        {"dipper.scope": "ckptA", "dipper.batch_id": "3"},
+    ])
+    t = IcebergTable(fake, "lake.db.transcripts")
+    assert t._seen(3, "ckptA") is True
+    assert t._seen(3, "ckptB") is False     # scope mismatch
+    assert t._seen(4, "ckptA") is False     # batch mismatch
+    assert t._seen(3, "default") is False
+
+
+def test_seen_window_is_bounded():
+    """A marker older than MARKER_SCAN snapshots is legitimately not
+    seen (re-merge is a (ts,lsn)-guard no-op) — and the scan must ask
+    the catalog for exactly the bounded LIMIT, not the full history."""
+    old_marker = {"dipper.scope": "ckptA", "dipper.batch_id": "1"}
+    history = [{"noise": str(i)} for i in range(IcebergTable.MARKER_SCAN)] + [old_marker]
+    fake = _FakeSpark(history)
+    t = IcebergTable(fake, "lake.db.transcripts")
+    assert t._seen(1, "ckptA") is False
+    assert f"LIMIT {IcebergTable.MARKER_SCAN}" in fake.sql_calls[-1]
+
+
+def test_merge_skips_seen_batch_and_falls_back_unmarked(spark):
+    """merge(): (a) a marked (scope, batch_id) issues NO MERGE; (b) an
+    unseen batch with no JVM bridge still runs the MERGE (unmarked
+    fallback — correctness rests on the (ts, lsn) guard)."""
+    src = spark.createDataFrame(
+        [("c1", 0, "u", "hi", None, None, 1, True, 1, 1)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, lsn long, is_delete boolean, n_events long, n_unique long")
+
+    seen = _FakeSpark([{"dipper.scope": "ck", "dipper.batch_id": "5"}])
+    t = IcebergTable(seen, "lake.db.transcripts")
+    # _seen short-circuits BEFORE any view registration or SQL
+    t.merge(src, batch_id=5, scope="ck")
+    assert not any("MERGE INTO" in s for s in seen.sql_calls)
+
+    unseen = _FakeSpark([])
+    t2 = IcebergTable(unseen, "lake.db.transcripts")
+    t2.merge(src, batch_id=6, scope="ck")
+    merges = [s for s in unseen.sql_calls if "MERGE INTO" in s]
+    assert len(merges) == 1  # fallback executed the statement unmarked

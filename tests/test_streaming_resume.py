@@ -74,3 +74,103 @@ def test_crash_resume_and_redelivery(spark, tmp_path):
     # the redelivered events must show up as stale conflicts, not applies
     last = [s for s in stats if not s.skipped][-1]
     assert last.rows_applied == 0 or last.conflicts > 0
+
+
+def _paced_binlog_runs(spark, tmp_path, seed: int, pacing_dir: str | None):
+    """Two paced runs over one checkpoint: run 1 sees only the FIRST
+    HALF of the chunk files (deterministic mid-backlog stop — a
+    time-based stop overshoots under suite load), drains them, stops;
+    the rest of the backlog then appears and run 2 resumes from the
+    checkpoint with a fresh reader instance.  Returns (manifest,
+    run1 lsn-lists, run2 lsn-lists)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dipper_spark.streaming.binlog_source import BinlogDataSource
+
+    stage_dir = str(tmp_path / "stage")
+    log_dir = str(tmp_path / "log")
+    logical, man = gen_changelog(
+        stage_dir, ChangelogSpec(seed=seed, n_conv=40, extra_rate=0.8, n_chunks=8))
+    chunk_files = sorted(f for f in os.listdir(stage_dir)
+                         if f.endswith(".parquet") and not f.startswith("_"))
+    os.makedirs(log_dir)
+    half = len(chunk_files) // 2
+    for f in chunk_files[:half]:
+        os.link(os.path.join(stage_dir, f), os.path.join(log_dir, f))
+    n_half = sum(pq.read_metadata(os.path.join(stage_dir, f)).num_rows
+                 for f in chunk_files[:half])
+    man["n_run1"] = n_half
+
+    def reveal_rest():
+        for f in chunk_files[half:]:
+            os.link(os.path.join(stage_dir, f), os.path.join(log_dir, f))
+
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass
+
+    def run() -> list[list]:
+        # lsn LISTS, not sets: the log itself carries redelivered
+        # duplicate lsns, which must count toward n_delivered
+        batches: list[list] = []
+        reader = (
+            spark.readStream.format("dipper_binlog")
+            .option("path", log_dir)
+            .option("maxChunksPerTrigger", "2")
+        )
+        if pacing_dir:
+            reader = reader.option("pacingDir", pacing_dir)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append([r["lsn"] for r in df.select("lsn").collect()]))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="200 milliseconds").start()
+        )
+        # blocks until everything currently in the log is processed AND
+        # committed — a bare stop() can interrupt the final batch's
+        # commit and turn the next run into a (legal) batch replay,
+        # which would make the exactly-once count nondeterministic
+        q.processAllAvailable()
+        q.stop()
+        return batches
+
+    b1 = run()
+    got1 = sum(len(s) for s in b1)
+    assert got1 == man["n_run1"], "run 1 should drain exactly the visible half"
+    reveal_rest()
+    b2 = run()
+    return man, b1, b2
+
+
+def test_binlog_restart_pacing_dir_exactly_once(spark, tmp_path):
+    """RESTART under maxChunksPerTrigger WITH pacingDir (round 4 fix
+    for ADVICE r3): the persisted pacing counter survives the restart,
+    so the fresh reader's first paced offset never sits below the
+    checkpointed start and every chunk is delivered exactly once at
+    the raw source level — no rewind, no re-reads."""
+    man, b1, b2 = _paced_binlog_runs(spark, tmp_path, seed=63,
+                                     pacing_dir=str(tmp_path / "ckpt" / "binlog_pacing"))
+    n1 = sum(len(s) for s in b1)
+    n2 = sum(len(s) for s in b2)
+    assert n1 + n2 == man["n_delivered"], (
+        f"paced restart lost/duplicated events: {n1}+{n2} != {man['n_delivered']}")
+    all_lsns = set().union(*(set(s) for s in (*b1, *b2)))
+    assert len(all_lsns) == man["n_delivered"] - man["n_dups"]
+
+
+def test_binlog_restart_pacing_no_dir_at_least_once(spark, tmp_path):
+    """RESTART under maxChunksPerTrigger WITHOUT pacingDir pins the
+    measured runner behavior (ADVICE r3): the reset pacing counter may
+    rewind the stream position — already-committed chunks re-deliver —
+    but NOTHING is lost, and the engine's ledger + (ts, lsn) merge
+    guard make the re-delivery a downstream no-op.  If a Spark upgrade
+    changes how the runner treats end < start, this breaks loudly."""
+    man, b1, b2 = _paced_binlog_runs(spark, tmp_path, seed=64, pacing_dir=None)
+    all_lsns = set().union(*(set(s) for s in (*b1, *b2)))
+    assert len(all_lsns) == man["n_delivered"] - man["n_dups"], "events lost across restart"
+    n_total = sum(len(s) for s in b1) + sum(len(s) for s in b2)
+    assert n_total >= man["n_delivered"]  # duplicates allowed, loss not

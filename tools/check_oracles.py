@@ -96,15 +96,15 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from dipper_spark.operators import (  # noqa: F401  (registration imports)
-        relational,
-        relational_ext,
-        relational_ext2,
-        relational_ext3,
-        relational_ext4,
-        relational_sim,
-    )
-    from dipper_spark.operators.relational import ORACLES, QUERIES
+    # Go through __spark_entry__ (not the operator registry directly)
+    # so this gate covers EXACTLY what the driver sees — including the
+    # flagship contract and its literal oracle.  The driver's rotating
+    # window samples 50 queries per round; THIS run over all of them is
+    # the merge gate (ADVICE r3: window rows are point-in-time).
+    import __spark_entry__ as E
+
+    QUERIES = E.queries()
+    ORACLES = E.oracle_sql()
     from dipper_spark.session import build_session
 
     spark = build_session("oracle-check", cores=8, shuffle_partitions=8)

@@ -100,7 +100,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--n-conv", type=int, default=500_000)
     ap.add_argument("--pairs", type=str, default="1:4,2:8,8:32")
-    ap.add_argument("--collapse", type=str, default="carry", choices=["carry", "slim"])
+    ap.add_argument("--collapse", type=str, default="carry", choices=["carry", "slim", "dictkey"])
+    ap.add_argument("--ab", type=str, default=None, choices=["slim", "dictkey"],
+                    help="A/B mode: run BOTH --collapse and this variant per round, "
+                         "interleaved on the same generated log (arms share every "
+                         "interference window); implies --no-md")
     ap.add_argument("--codec", type=str, default=None,
                     help="spark.io.compression.codec override (e.g. zstd)")
     ap.add_argument("--no-md", action="store_true",
@@ -125,35 +129,60 @@ def main() -> None:
 
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
     levels = sorted({c for p in pairs for c in p})
-    walls: dict[int, list[float]] = {c: [] for c in levels}
-    hash_ok: dict[int, bool] = {c: True for c in levels}
+    modes = [args.collapse] + ([args.ab] if args.ab else [])
+    walls: dict[tuple[str, int], list[float]] = {(m, c): [] for m in modes for c in levels}
+    hash_ok: dict[tuple[str, int], bool] = {(m, c): True for m in modes for c in levels}
     for r in range(args.runs):
         for cores in levels:  # interleaved levels per round
-            c = canary()
-            cmd = [sys.executable, os.path.abspath(__file__), "--inner", "--cores", str(cores),
-                   "--log", log_dir, "--collapse", args.collapse]
-            if args.codec:
-                cmd += ["--codec", args.codec]
-            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
-            walls[cores].append(res["wall"])
-            hash_ok[cores] &= res["final_hash"] == oracle_hash
-            print(f"# round {r} local[{cores}]: {res['wall']:.2f}s "
-                  f"(canary {c:.2f}s, hash_ok={res['final_hash'] == oracle_hash})", file=sys.stderr)
+            for mode in modes:  # interleaved arms within a level
+                c = canary()
+                cmd = [sys.executable, os.path.abspath(__file__), "--inner", "--cores", str(cores),
+                       "--log", log_dir, "--collapse", mode]
+                if args.codec:
+                    cmd += ["--codec", args.codec]
+                out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
+                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+                res = json.loads(line)
+                walls[(mode, cores)].append(res["wall"])
+                hash_ok[(mode, cores)] &= res["final_hash"] == oracle_hash
+                print(f"# round {r} local[{cores}] {mode}: {res['wall']:.2f}s "
+                      f"(canary {c:.2f}s, hash_ok={res['final_hash'] == oracle_hash})",
+                      file=sys.stderr)
 
-    best = {c: min(walls[c]) for c in levels}
-    rate = {c: n_events / best[c] for c in levels}
-    pair_results = []
-    for lo, hi in pairs:
-        ratio = hi // lo
-        eff = (rate[hi] / rate[lo]) / ratio
-        pair_results.append({
-            "pair": f"local[{lo}]->local[{hi}]",
-            "speedup": round(rate[hi] / rate[lo], 2),
-            "scaling_efficiency": round(eff, 3),
-            "pass": eff >= 0.8 and hash_ok[lo] and hash_ok[hi],
-        })
+    def pair_table(mode: str):
+        best = {c: min(walls[(mode, c)]) for c in levels}
+        rate = {c: n_events / best[c] for c in levels}
+        out = []
+        for lo, hi in pairs:
+            ratio = hi // lo
+            eff = (rate[hi] / rate[lo]) / ratio
+            out.append({
+                "pair": f"local[{lo}]->local[{hi}]",
+                "speedup": round(rate[hi] / rate[lo], 2),
+                "scaling_efficiency": round(eff, 3),
+                "pass": eff >= 0.8 and hash_ok[(mode, lo)] and hash_ok[(mode, hi)],
+            })
+        return best, rate, out
+
+    if args.ab:
+        ab_summary = {"metric": f"collapse A/B {args.collapse} vs {args.ab}",
+                      "n_events": n_events, "arms": {}}
+        for mode in modes:
+            best, rate, prs = pair_table(mode)
+            ab_summary["arms"][mode] = {
+                "levels": {f"local{c}": {"best_wall_s": round(best[c], 2),
+                                         "events_per_sec": round(rate[c], 1),
+                                         "walls": [round(w, 2) for w in walls[(mode, c)]],
+                                         "hash_ok": hash_ok[(mode, c)]} for c in levels},
+                "pairs": prs,
+            }
+        print(json.dumps(ab_summary))
+        return
+
+    best, rate, pair_results = pair_table(args.collapse)
+    # keep the single-mode names used below
+    walls = {c: walls[(args.collapse, c)] for c in levels}
+    hash_ok = {c: hash_ok[(args.collapse, c)] for c in levels}
     headline = pair_results[0]
     summary = {
         "metric": "replay throughput scaling efficiency, N -> 4N cores",
