@@ -121,8 +121,15 @@ def lww_collapse_dictkey(df: DataFrame, n_salts: int = 8, carry: list[str] | Non
     — beyond disk-corruption probability; a single 64-bit key would
     expect ~3 collisions at that scale, hence the pair.
 
-    Measured A/B vs carry (canary-gated interleaved protocol, 10.4M
-    events): see BENCH/BASELINE.md round-4 section."""
+    MEASURED NEGATIVE (round 4, canary-gated interleaved A/B, 5.19M
+    events, best-of-2, final-state hash checked on every run): dictkey
+    LOSES at both levels — local[2] 55.43s vs carry 51.76s, local[8]
+    22.63s vs 18.21s; 2->8 efficiency 0.612 vs carry 0.711.  Spark's
+    hash aggregate already hashes the string key once per row, so the
+    two extra xxhash64 projections are pure added cost, and the
+    conv_id string still crosses the wire inside the winner struct —
+    bytes unchanged, CPU up.  Kept as a documented negative result
+    (BENCH/BASELINE.md round-4 section); carry stays the default."""
     carry = carry or [c for c in CARRY_COLUMNS if c in df.columns]
     ordk = F.struct(F.col("ts"), F.col("lsn"))
     val = F.struct(F.col("conv_id"), *[F.col(c) for c in carry])
@@ -179,18 +186,22 @@ def lww_collapse_slim(df: DataFrame, n_salts: int = 8, carry: list[str] | None =
     small (sandbox scale) and falls back to a shuffle join when a
     batch has too many keys to broadcast (10^9-key backfills).
 
-    WHEN TO USE (measured, round 3 — see BENCH/BASELINE.md): for this
-    engine's transcript-width payloads (tens of bytes) `carry` wins at
-    every parallelism level — A/B at 2.07M events: carry 24.3/13.1 s
-    at local[2]/local[8] vs slim 36.5/51.1 s.  The reason is phase B:
-    on a full backfill the winner-lsn set is about as large as the key
-    set, too big to broadcast, so the semi-join SHUFFLES every decoded
-    source row by lsn — slim then moves MORE total bytes than carry,
-    plus the second scan.  slim pays off only when (payload width >>
-    key+ordering width) AND the winner set is broadcastable (normal
-    incremental micro-batches, where winners per batch are small) —
-    exactly the streaming path, where callers can pass
-    collapse='slim' per batch.
+    WHEN TO USE (measured r3 backfills + r4 micro-batches): for this
+    engine's transcript-width payloads (tens of bytes) `carry` wins in
+    BOTH regimes.  Backfills (r3 A/B at 2.07M events: carry 24.3/13.1s
+    at local[2]/local[8] vs slim 36.5/51.1 s): the winner-lsn set is
+    about as large as the key set, too big to broadcast, so the
+    semi-join SHUFFLES every decoded source row by lsn — slim moves
+    MORE total bytes than carry, plus the second scan.  Incremental
+    micro-batches — slim's hypothesized home regime (small
+    broadcastable winner sets) — measured r4 over the 220-batch soak,
+    arms interleaved per chunk: slim/carry median merge wall = 1.188
+    (BENCH/SOAK.md); at ~10^2-event batches the fixed cost of the
+    second scan + join outweighs payload bytes that barely exceed the
+    key tuple.  slim remains justified only for genuinely wide
+    payloads (KB-scale blobs/embeddings per event), where the saved
+    bytes are real; for this engine's spec payloads the default is
+    carry everywhere, now by measurement in both regimes.
     """
     carry = carry or [c for c in CARRY_COLUMNS if c in df.columns]
     ordk = F.struct(F.col("ts"), F.col("lsn"))

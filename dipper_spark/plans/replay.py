@@ -68,6 +68,13 @@ def replay(
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
     raw = read_changelog(spark, log_path)
     decoded = decode_payload(raw)
+    if not lineage:
+        # source/source_offset exist ONLY to feed lineage offset stats
+        # (target._NON_DATA excludes them from the table) — with
+        # lineage off they are dead weight through BOTH collapse
+        # shuffles and the merge join (~15 of ~70 payload bytes per
+        # record at transcript widths).  Trim before the collapse.
+        decoded = decoded.drop("source", "source_offset")
     do_collapse = {"slim": lww_collapse_slim, "dictkey": lww_collapse_dictkey}.get(
         collapse, lww_collapse)
     delay = parse_delay(watermark_delay)

@@ -79,7 +79,10 @@ def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
     import uuid as _uuid
 
     stats_log: list[MergeStats] = []
-    do_collapse = lww_collapse_slim if collapse == "slim" else lww_collapse
+    from ..operators.cdc import lww_collapse_dictkey
+
+    do_collapse = {"slim": lww_collapse_slim, "dictkey": lww_collapse_dictkey}.get(
+        collapse, lww_collapse)
     delay = parse_delay(watermark_delay)
     state = {"max_ts": None}
 
@@ -129,7 +132,13 @@ def ingest(
     dead_letter: bool = False,
 ) -> tuple[LocalCowTable, "object", list[MergeStats]]:
     """Run the ingest stream; with available_now=True processes the
-    current log to completion and returns (table, query, stats)."""
+    current log to completion and returns (table, query, stats).
+
+    collapse='carry' is the measured default in BOTH regimes: r3
+    backfill A/B and the r4 220-micro-batch interleaved soak A/B
+    (slim/carry = 1.188 per-batch median — BENCH/SOAK.md) both favor
+    carry at transcript payload widths; 'slim' stays available for
+    genuinely wide (KB+) payloads."""
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
     stream = changelog_stream(spark, log_path, max_files_per_trigger)
     if stream_dedup:

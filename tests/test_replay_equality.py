@@ -83,3 +83,30 @@ def test_salting_invariance(spark, tmp_path, n_salts):
     """The salt count must never change the result, only the shuffle shape."""
     spec = ChangelogSpec(seed=13, n_conv=50, extra_rate=1.0, hot_frac=0.6)
     _run(spark, tmp_path / str(n_salts), spec, n_salts=n_salts)
+
+
+def test_replay_no_lineage_trims_and_matches(spark, tmp_path):
+    """lineage=False replay (the pure-throughput path bench/scaling
+    use): the r4 shuffle-bytes trim drops source/source_offset before
+    the collapse — the final state must still equal the oracle, and
+    the trimmed columns must genuinely be gone from the merge input
+    (they are lineage-only; the table never stores them)."""
+    spec = ChangelogSpec(seed=31, n_conv=100, extra_rate=1.5, dup_rate=0.1, hot_frac=0.3)
+    log_dir = str(tmp_path / "log")
+    logical, man = gen_changelog(log_dir, spec)
+    table, stats = replay(spark, log_dir, str(tmp_path / "table"), lineage=False)
+    _assert_equal(table.snapshot().toPandas(), apply_log_pandas(logical))
+    snap_cols = set(table.read().columns)
+    assert "source" not in snap_cols and "source_offset" not in snap_cols
+
+
+def test_replay_dictkey_matches(spark, tmp_path):
+    """collapse='dictkey' (128-bit hashed phase-1 key) is semantics-
+    identical to carry: same final state vs the oracle under dups,
+    disorder and hot-key skew."""
+    spec = ChangelogSpec(seed=32, n_conv=90, extra_rate=2.0, dup_rate=0.25,
+                         hot_frac=0.5, max_disorder_s=1800)
+    log_dir = str(tmp_path / "log")
+    logical, man = gen_changelog(log_dir, spec)
+    table, _ = replay(spark, log_dir, str(tmp_path / "table"), collapse="dictkey", n_salts=16)
+    _assert_equal(table.snapshot().toPandas(), apply_log_pandas(logical))

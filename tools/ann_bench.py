@@ -197,16 +197,91 @@ def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
     return res
 
 
+AMORTIZE_Q = 1000  # queries the index build is amortized over (stated)
+
+
+def run_sweep(spark, ns: list[int], dim: int = 64, reps: int = 3) -> dict:
+    """Crossover sweep (VERDICT r3 #4): where does each index first
+    beat brute force?  Two crossovers per method:
+      * query-only  — per-query wall < brute wall (index prebuilt,
+        the 100 TB deployment shape: signatures/cells are a
+        materialized column of the corpus table);
+      * build-amortized — (build + q*query) < q*brute for q=AMORTIZE_Q
+        (an index you build for a single batch of q queries)."""
+    points = []
+    for n in ns:
+        r = run_ann_scale(spark, n=n, dim=dim, reps=reps)
+        for m in ("lsh", "ivf"):
+            amort = (r[f"{m}_build_wall_s"] + AMORTIZE_Q * r[m]["wall_s"]) / (
+                AMORTIZE_Q * r["brute"]["wall_s"])
+            r[m]["amortized_cost_ratio"] = round(amort, 3)  # <1 = index wins
+        points.append(r)
+
+    def crossover(metric):
+        for p in points:
+            if metric(p):
+                return p["n_vectors"]
+        return None
+
+    return {
+        "ns": ns, "reps": reps, "amortize_q": AMORTIZE_Q,
+        "points": points,
+        "crossover_query_only": {
+            m: crossover(lambda p, m=m: p[f"{m}_speedup_vs_brute"] > 1.0)
+            for m in ("lsh", "ivf")},
+        "crossover_build_amortized": {
+            m: crossover(lambda p, m=m: p[m]["amortized_cost_ratio"] < 1.0)
+            for m in ("lsh", "ivf")},
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sweep", type=str, default=None,
+                    help="comma-separated corpus sizes; runs the crossover sweep "
+                         "and appends the table to BENCH/ANN.md")
     args = ap.parse_args()
 
     from dipper_spark.session import build_session
 
     spark = build_session("ann-bench")
+    if args.sweep:
+        ns = [int(x) for x in args.sweep.split(",")]
+        sw = run_sweep(spark, ns, args.dim, args.reps)
+        spark.stop()
+        rows = "\n".join(
+            f"| {p['n_vectors']:,} | {p['brute']['wall_s']} "
+            f"| {p['lsh']['wall_s']} ({p['lsh_speedup_vs_brute']}x, amort {p['lsh']['amortized_cost_ratio']}) "
+            f"| {p['ivf']['wall_s']} ({p['ivf_speedup_vs_brute']}x, amort {p['ivf']['amortized_cost_ratio']}) |"
+            for p in sw["points"]
+        )
+        cq, cb = sw["crossover_query_only"], sw["crossover_build_amortized"]
+        with open(os.path.join(REPO, "BENCH", "ANN.md"), "a") as f:
+            f.write(f"""
+## Crossover sweep (round 4) — where the index first beats brute force
+
+Per corpus size: brute wall vs index query wall (median of {sw['reps']};
+index prebuilt — the materialized-column deployment shape) and the
+build-amortized cost ratio over q={AMORTIZE_Q} queries
+((build + q*query) / (q*brute); < 1 = index wins including its build).
+
+| n vectors | brute (s) | LSH query s (speedup, amortized ratio) | IVF query s (speedup, amortized ratio) |
+|---|---|---|---|
+{rows}
+
+**Query-only crossover:** LSH at n >= {cq['lsh'] or '>' + format(max(ns), ',')}, IVF at n >= {cq['ivf'] or '>' + format(max(ns), ',')}.
+**Build-amortized (q={AMORTIZE_Q}) crossover:** LSH at n >= {cb['lsh'] or '>' + format(max(ns), ',')}, IVF at n >= {cb['ivf'] or '>' + format(max(ns), ',')}.
+Below the crossover a linear scan is simply the right plan (the corpus
+fits a few tasks; index read overhead dominates) — bench.py's
+`ann_scale` row therefore asserts speedup only above the measured
+query-only crossover and labels sub-crossover corpora explicitly.
+""")
+        print(json.dumps(sw))
+        return
+
     res = run_ann_scale(spark, args.n, args.dim, args.reps)
     spark.stop()
 
