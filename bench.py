@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Measured query-only crossover corpus sizes (BENCH/ANN.md, r4 sweep):
+# smallest n where the prebuilt index's per-query wall beats the brute
+# scan.  IVF wins at every measured size; LSH needs a larger corpus
+# before its bucket-read overhead amortizes on near-uniform data.
+ANN_CROSSOVER_N = {"lsh": 500_000, "ivf": 100_000}
+
 RELATIONAL = [
     "agg_hash_group_q1",
     "join_broadcast_dim",
@@ -152,6 +158,18 @@ def main() -> None:
         from tools.ann_bench import run_ann_scale
 
         ann_scale = run_ann_scale(spark, n=ann_n, reps=3)
+        # Measured query-only crossovers (BENCH/ANN.md round-4 sweep,
+        # min-wall protocol): below its crossover an index is NOT
+        # supposed to beat a linear scan (the corpus fits a few tasks;
+        # index read overhead dominates) — report the raw wall ratio
+        # there instead of calling it a "speedup", and assert nothing.
+        for m, cross in ANN_CROSSOVER_N.items():
+            above = ann_n >= cross
+            ann_scale[f"{m}_above_crossover"] = above
+            if not above:
+                ann_scale[f"{m}_wall_ratio_vs_brute"] = ann_scale.pop(
+                    f"{m}_speedup_vs_brute")
+        ann_scale["crossover_n"] = ANN_CROSSOVER_N
 
     # normalized walls: engine seconds per canary second — host-drift-
     # free comparison unit across rounds (same canary job every round)

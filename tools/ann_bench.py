@@ -19,7 +19,9 @@ embedding_cosine_topk query uses):
               query: read only nprobe cell partitions (partition
               pruning), exact verify inside them
 
-Reported per method: wall (median of `reps` timed queries), recall@10
+Reported per method: wall (MIN of `reps` timed queries — the repo's
+interference-hardened convention; a median of 3 inside one slow host
+window misread LSH-at-1M by 3.5x in the first r4 sweep), recall@10
 vs brute force, candidate/probed fraction.  Index build walls are
 reported separately (amortized over every future query at deploy
 time).
@@ -106,7 +108,7 @@ def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
         exact_rows = _brute_topk(corpus, query).collect()
         walls.append(time.monotonic() - t0)
     exact_ids = {r.vec_id for r in exact_rows}
-    res["brute"] = {"wall_s": round(sorted(walls)[len(walls) // 2], 3),
+    res["brute"] = {"wall_s": round(min(walls), 3),
                     "probed_fraction": 1.0, "recall_at_10": 1.0}
 
     # ---- LSH: prebuild a BUCKET STORE — the index is the corpus laid
@@ -151,7 +153,7 @@ def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
         lsh_ids = {r.vec_id for r in rows}
     n_cand = index.filter(probe_pred).select("id").distinct().count()
     res["lsh"] = {
-        "wall_s": round(sorted(walls)[len(walls) // 2], 3),
+        "wall_s": round(min(walls), 3),
         "probed_fraction": round(n_cand / n, 4),
         "recall_at_10": round(len(lsh_ids & exact_ids) / K, 2),
         "bands": BANDS, "rows": ROWS, "multiprobe": 1,
@@ -186,7 +188,7 @@ def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
         ivf_ids = {r.vec_id for r in rows}
     n_probed = ivf.filter(F.col("cell").isin(probe_cells)).count()
     res["ivf"] = {
-        "wall_s": round(sorted(walls)[len(walls) // 2], 3),
+        "wall_s": round(min(walls), 3),
         "probed_fraction": round(n_probed / n, 4),
         "recall_at_10": round(len(ivf_ids & exact_ids) / K, 2),
         "n_cells": N_CELLS, "nprobe": NPROBE,
@@ -263,7 +265,7 @@ def main() -> None:
             f.write(f"""
 ## Crossover sweep (round 4) — where the index first beats brute force
 
-Per corpus size: brute wall vs index query wall (median of {sw['reps']};
+Per corpus size: brute wall vs index query wall (min of {sw['reps']};
 index prebuilt — the materialized-column deployment shape) and the
 build-amortized cost ratio over q={AMORTIZE_Q} queries
 ((build + q*query) / (q*brute); < 1 = index wins including its build).
@@ -296,7 +298,7 @@ LSH signature table and the IVF cell layout are query-independent and
 built once per corpus (at 100 TB: a materialized column / the table's
 partition scheme).
 
-| method | query wall (s, median of {res['reps']}) | probed fraction | recall@10 | speedup vs brute |
+| method | query wall (s, min of {res['reps']}) | probed fraction | recall@10 | speedup vs brute |
 |---|---|---|---|---|
 | brute force | {res['brute']['wall_s']} | 1.0 | 1.0 | 1x |
 | LSH ({BANDS}x{ROWS} bands, multiprobe 1) | {res['lsh']['wall_s']} | {res['lsh']['probed_fraction']} | {res['lsh']['recall_at_10']} | {res['lsh_speedup_vs_brute']}x |
