@@ -655,6 +655,46 @@ class IcebergTable:
         self.spark = spark
         self.identifier = identifier
 
+    def create_sql(self, n_buckets: int = 32, extra_data_cols: dict[str, str] | None = None) -> str:
+        """CREATE TABLE DDL mirroring LocalCowTable's layout on a real
+        catalog.  Pure string builder — unit-testable without an
+        Iceberg runtime.
+
+        * `PARTITIONED BY (bucket(N, conv_id))` — Iceberg's bucket
+          transform is single-column, so the lake layout buckets on
+          conv_id (co-locating a conversation's turns; the local CoW
+          backend buckets on the full key).  MERGE INTO then prunes to
+          touched buckets and storage-partitioned joins avoid the
+          shuffle, same as the local bucket alignment.
+        * format-version 2 + merge-on-read for DELETE/UPDATE: at
+          10^10-event ingest rates, positional delete files amortize
+          far better than rewriting data files per micro-batch;
+          compaction (op C17) folds them in.
+        * write.distribution-mode=hash aligns the MERGE write exchange
+          with the bucket spec (one file per touched bucket per
+          commit, not one per task).
+        * system columns (_op_ts, _lsn, _deleted) are part of the
+          schema — the (ts, lsn) guard and tombstones live in-table,
+          identical contract to the local backend."""
+        extra = extra_data_cols or {}
+        cols = ", ".join(
+            ["conv_id STRING NOT NULL", "turn_idx INT NOT NULL",
+             "role STRING", "text STRING", "tool STRING", "ts TIMESTAMP"]
+            + [f"{c} {t}" for c, t in extra.items()]
+            + ["_op_ts TIMESTAMP", "_lsn BIGINT", "_deleted BOOLEAN"]
+        )
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.identifier} ({cols})\n"
+            f"USING iceberg\n"
+            f"PARTITIONED BY (bucket({n_buckets}, conv_id))\n"
+            f"TBLPROPERTIES (\n"
+            f"  'format-version' = '2',\n"
+            f"  'write.delete.mode' = 'merge-on-read',\n"
+            f"  'write.update.mode' = 'merge-on-read',\n"
+            f"  'write.merge.mode' = 'merge-on-read',\n"
+            f"  'write.distribution-mode' = 'hash')"
+        )
+
     def merge_sql(self, source_columns: list[str], source_view: str = "_dipper_src") -> str:
         """Build the MERGE statement for a collapse-output source with
         the given columns.  Pure string builder — unit-testable without

@@ -63,6 +63,36 @@ def changelog_stream(
     return r.parquet(log_path)
 
 
+def binlog_stream(
+    spark: SparkSession,
+    log_path: str,
+    checkpoint: str,
+    max_chunks_per_trigger: int | None = None,
+) -> DataFrame:
+    """Tail the changelog through the CUSTOM binlog source (op C2) —
+    the seekable-broker shape (own offsets via initialOffset/
+    latestOffset/commit, not Spark's file listing).  This is the
+    literal north-rule path: binlog/WAL tail -> lake upsert, with the
+    same foreachBatch merge downstream as the file source.
+
+    pacingDir is pinned inside the checkpoint so a restart under
+    maxChunksPerTrigger resumes pacing where it left off instead of
+    rewinding (see binlog_source.BinlogStreamReader docstring)."""
+    import os
+
+    from .binlog_source import BinlogDataSource
+
+    try:
+        spark.dataSource.register(BinlogDataSource)
+    except Exception:
+        pass  # already registered in this session
+    r = spark.readStream.format("dipper_binlog").option("path", log_path)
+    if max_chunks_per_trigger:
+        r = (r.option("maxChunksPerTrigger", max_chunks_per_trigger)
+              .option("pacingDir", os.path.join(checkpoint, "binlog_pacing")))
+    return r.load()
+
+
 def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
                        fail_after: int | None = None, scope: str = "default",
                        collapse: str = "carry", watermark_delay: str = "10 minutes",
@@ -130,6 +160,8 @@ def ingest(
     fail_after: int | None = None,
     collapse: str = "carry",
     dead_letter: bool = False,
+    source: str = "file",
+    max_chunks_per_trigger: int | None = None,
 ) -> tuple[LocalCowTable, "object", list[MergeStats]]:
     """Run the ingest stream; with available_now=True processes the
     current log to completion and returns (table, query, stats).
@@ -138,9 +170,17 @@ def ingest(
     backfill A/B and the r4 220-micro-batch interleaved soak A/B
     (slim/carry = 1.188 per-batch median — BENCH/SOAK.md) both favor
     carry at transcript payload widths; 'slim' stays available for
-    genuinely wide (KB+) payloads."""
+    genuinely wide (KB+) payloads.
+
+    source='file' tails via Spark's file source (op C1);
+    source='binlog' tails via the custom DataSource (op C2, own
+    offsets, maxChunksPerTrigger/pacingDir) — identical downstream
+    pipeline and exactly-once layering either way."""
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
-    stream = changelog_stream(spark, log_path, max_files_per_trigger)
+    if source == "binlog":
+        stream = binlog_stream(spark, log_path, checkpoint, max_chunks_per_trigger)
+    else:
+        stream = changelog_stream(spark, log_path, max_files_per_trigger)
     if stream_dedup:
         # cross-micro-batch exact dedup; state bounded by the watermark
         stream = dedup_lsn(with_watermark(stream, watermark_delay), streaming=True)

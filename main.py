@@ -67,6 +67,12 @@ def main() -> None:
                    help="keep tailing instead of availableNow")
     i.add_argument("--dead-letter", action="store_true",
                    help="persist op-C4 rejected rows under <table>/_deadletter")
+    i.add_argument("--source", choices=["file", "binlog"], default="file",
+                   help="file: Spark file source (C1); binlog: custom "
+                        "DataSource with own offsets (C2)")
+    i.add_argument("--max-chunks-per-trigger", type=int, default=None,
+                   help="binlog-source pacing (persisted via pacingDir in "
+                        "the checkpoint; processingTime triggers only)")
 
     s = sub.add_parser("snapshot")
     s.add_argument("--table", required=True)
@@ -125,6 +131,8 @@ def main() -> None:
             stream_dedup=args.stream_dedup,
             available_now=not args.continuous,
             dead_letter=args.dead_letter,
+            source=args.source,
+            max_chunks_per_trigger=args.max_chunks_per_trigger,
         )
         if args.continuous:
             query.awaitTermination()

@@ -173,3 +173,23 @@ def test_merge_skips_seen_batch_and_falls_back_unmarked(spark):
     t2.merge(src, batch_id=6, scope="ck")
     merges = [s for s in unseen.sql_calls if "MERGE INTO" in s]
     assert len(merges) == 1  # fallback executed the statement unmarked
+
+
+def test_create_sql_parses_and_mirrors_layout(spark):
+    """CREATE TABLE DDL (round 4): parses as Spark SQL and pins the
+    scale-relevant choices — bucket partitioning, format v2,
+    merge-on-read write modes, hash distribution, in-table system
+    columns."""
+    sql = IcebergTable(spark, "lake.db.transcripts").create_sql(
+        n_buckets=64, extra_data_cols={"meta_tokens": "INT"})
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(sql)  # raises on syntax errors
+    assert "PARTITIONED BY (bucket(64, conv_id))" in sql
+    assert "'format-version' = '2'" in sql
+    for mode in ("delete", "update", "merge"):
+        assert f"'write.{mode}.mode' = 'merge-on-read'" in sql
+    assert "'write.distribution-mode' = 'hash'" in sql
+    for col in ("_op_ts TIMESTAMP", "_lsn BIGINT", "_deleted BOOLEAN",
+                "conv_id STRING NOT NULL", "turn_idx INT NOT NULL",
+                "meta_tokens INT"):
+        assert col in sql, f"DDL missing {col}"

@@ -174,3 +174,27 @@ def test_binlog_restart_pacing_no_dir_at_least_once(spark, tmp_path):
     assert len(all_lsns) == man["n_delivered"] - man["n_dups"], "events lost across restart"
     n_total = sum(len(s) for s in b1) + sum(len(s) for s in b2)
     assert n_total >= man["n_delivered"]  # duplicates allowed, loss not
+
+
+def test_binlog_source_ingest_end_to_end(spark, tmp_path):
+    """The literal north-rule path: binlog/WAL tail (custom DataSource,
+    op C2) -> decode -> salted LWW collapse -> guarded MERGE upsert.
+    Final state must equal the pandas oracle AND the file-source
+    ingest of the same log, and the lineage totals must reconcile."""
+    spec = ChangelogSpec(seed=25, n_conv=70, extra_rate=1.5, dup_rate=0.1, n_chunks=6)
+    log_dir = str(tmp_path / "log")
+    logical, man = gen_changelog(log_dir, spec)
+    oracle = apply_log_pandas(logical)
+
+    tb, _, stats_b = ingest(
+        spark, log_dir, str(tmp_path / "tbl_binlog"), str(tmp_path / "ckpt_b"),
+        source="binlog",
+    )
+    _assert_equal(tb.snapshot().toPandas(), oracle)
+    applied = [s for s in stats_b if not s.skipped]
+    assert sum(s.rows_in for s in applied) == man["n_delivered"]
+
+    tf, _, _ = ingest(
+        spark, log_dir, str(tmp_path / "tbl_file"), str(tmp_path / "ckpt_f"),
+    )
+    assert state_hash(tb.snapshot().toPandas()) == state_hash(tf.snapshot().toPandas())
