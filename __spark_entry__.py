@@ -105,6 +105,7 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 # (run before every merge; replicates the driver's DuckDB compare).
 PRIORITY = [
     "cdc_replay_snapshot",
+    "cdc_changefeed_roundtrip",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -153,7 +154,6 @@ PRIORITY = [
     "fn_math_decimal",
     "stream_stateful_lww",
     "dedup_cluster_canonical",
-    "stream_binlog_tail",
 ]
 
 

@@ -50,6 +50,7 @@ def replay(
     collapse: str = "carry",
     watermark_delay: str = "10 minutes",
     dead_letter: bool = False,
+    changefeed: bool = False,
 ) -> tuple[LocalCowTable, list[MergeStats]]:
     """Replay the full log; returns (table, per-batch merge stats).
 
@@ -65,7 +66,8 @@ def replay(
 
     from ..streaming.ingest import parse_delay
 
-    table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
+    table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets,
+                                 changefeed=changefeed)
     raw = read_changelog(spark, log_path)
     decoded = decode_payload(raw)
     if not lineage:

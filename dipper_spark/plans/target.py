@@ -112,7 +112,8 @@ class LocalCowTable:
 
     # ---------------- manifest ----------------
     @classmethod
-    def create(cls, spark: SparkSession, root: str, n_buckets: int = 32) -> "LocalCowTable":
+    def create(cls, spark: SparkSession, root: str, n_buckets: int = 32,
+               changefeed: bool = False) -> "LocalCowTable":
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
         if not os.path.exists(t._manifest_path()):
@@ -125,6 +126,10 @@ class LocalCowTable:
                     "schemas": [],  # every schema ever written, in order
                     "buckets": {},  # bucket id (str) -> [[rel path, schema id]]
                     "ledger": [],  # [{batch_id, max_lsn, rows_applied, committed_at}]
+                    # changefeed: every merge also emits its applied
+                    # row-level changes under _changes/ for downstream
+                    # incremental consumers (see changefeed())
+                    "changefeed": changefeed,
                 }
             )
         return t
@@ -481,6 +486,32 @@ class LocalCowTable:
         )
         final = merged.drop("_w", "_ins", "_upd", "_del", "_conf", "_ne", "_nu", "_slsn", "_soff")
 
+        # --- changefeed OUT (CDC both directions): emit this batch's
+        # APPLIED row-level changes for downstream incremental
+        # consumers (e.g. a training-data pipeline tailing the table).
+        # Deterministic dir per (scope, batch) + overwrite => a crash
+        # retry rewrites the same changes and a ledger-skipped replay
+        # never rewrites them at all — the feed is exactly-once like
+        # the table.  Written BEFORE the manifest swap: an orphan from
+        # a torn merge is overwritten by the retry that commits.
+        # Costs one extra action over the (persisted) net-change plan;
+        # on fresh-table single-pass backfills that means a second
+        # pipeline pass, so enable changefeed only where a consumer
+        # exists.  scope=/batch= Hive-style dirs give readers
+        # partition pruning for "changes since batch N".
+        if man.get("changefeed"):
+            ch_op = (F.when(F.col("_del"), F.lit("D"))
+                      .when(F.col("_upd"), F.lit("U"))
+                      .otherwise(F.lit("I")).alias("change_op"))
+            (merged.filter(F.col("_w"))
+             .select(*KEY_COLUMNS, ch_op, *data_cols,
+                     F.col("_op_ts").alias("change_ts"),
+                     F.col("_lsn").alias("change_lsn"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.root, "_changes",
+                                   f"scope={self._scope_tag(scope)}",
+                                   f"batch={batch_id}")))
+
         # --- copy-on-write: rewrite touched buckets into fresh files ---
         ver = man["version"] + 1
         tmp = os.path.join(self.root, f"_tmp_b{batch_id}_{uuid.uuid4().hex[:8]}")
@@ -558,6 +589,39 @@ class LocalCowTable:
             offset_max=m["off_max"],
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
+
+    @staticmethod
+    def _scope_tag(scope: str) -> str:
+        """Filesystem-safe 8-hex tag for a scope (checkpoint paths are
+        not safe dir names; collisions at 8 hex over a handful of
+        scopes per table are negligible)."""
+        import hashlib as _hl
+
+        return _hl.sha256(scope.encode()).hexdigest()[:8]
+
+    def changefeed(self, since_batch: int | None = None,
+                   scope: str | None = None) -> DataFrame:
+        """Row-level change stream of a changefeed-enabled table
+        (CDC OUT): one row per applied change with `change_op` I/U/D,
+        the post-change data columns (nulls for D), the winning
+        (change_ts, change_lsn), plus Hive-partition columns `scope`
+        (8-hex tag) and `batch` for incremental consumption —
+        `since_batch` prunes to `batch > since_batch` at the DIRECTORY
+        level, so tailing consumers read only new commits.
+
+        Replaying the feed in (batch, change_lsn) order reproduces the
+        table snapshot exactly (pinned by tests/test_changefeed.py)."""
+        base = os.path.join(self.root, "_changes")
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"{base} does not exist — was the table created with "
+                f"changefeed=True and has a merge been applied?")
+        df = self.spark.read.parquet(base)
+        if scope is not None:
+            df = df.filter(F.col("scope") == self._scope_tag(scope))
+        if since_batch is not None:
+            df = df.filter(F.col("batch") > since_batch)
+        return df
 
     # ---------------- maintenance (op C17) ----------------
     def compact(self, drop_tombstones: bool = False) -> int:

@@ -162,6 +162,7 @@ def ingest(
     dead_letter: bool = False,
     source: str = "file",
     max_chunks_per_trigger: int | None = None,
+    changefeed: bool = False,
 ) -> tuple[LocalCowTable, "object", list[MergeStats]]:
     """Run the ingest stream; with available_now=True processes the
     current log to completion and returns (table, query, stats).
@@ -176,7 +177,8 @@ def ingest(
     source='binlog' tails via the custom DataSource (op C2, own
     offsets, maxChunksPerTrigger/pacingDir) — identical downstream
     pipeline and exactly-once layering either way."""
-    table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets)
+    table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets,
+                                 changefeed=changefeed)
     if source == "binlog":
         stream = binlog_stream(spark, log_path, checkpoint, max_chunks_per_trigger)
     else:

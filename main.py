@@ -56,6 +56,8 @@ def main() -> None:
                         "semi-join (fewer shuffle bytes for wide payloads)")
     r.add_argument("--dead-letter", action="store_true",
                    help="persist op-C4 rejected rows under <table>/_deadletter")
+    r.add_argument("--changefeed", action="store_true",
+                   help="emit row-level changes under <table>/_changes (CDC out)")
 
     i = sub.add_parser("ingest")
     i.add_argument("--log", required=True)
@@ -73,6 +75,8 @@ def main() -> None:
     i.add_argument("--max-chunks-per-trigger", type=int, default=None,
                    help="binlog-source pacing (persisted via pacingDir in "
                         "the checkpoint; processingTime triggers only)")
+    i.add_argument("--changefeed", action="store_true",
+                   help="emit row-level changes under <table>/_changes (CDC out)")
 
     s = sub.add_parser("snapshot")
     s.add_argument("--table", required=True)
@@ -84,6 +88,11 @@ def main() -> None:
 
     ln = sub.add_parser("lineage")
     ln.add_argument("--table", required=True)
+
+    ch = sub.add_parser("changes", help="print the row-level changefeed (CDC out)")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since-batch", type=int, default=None)
+    ch.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("zip")
 
@@ -118,7 +127,8 @@ def main() -> None:
 
         table, stats = replay(spark, args.log, args.table, n_salts=args.n_salts,
                               n_buckets=args.n_buckets, chunk_lsn=args.chunk_lsn,
-                              collapse=args.collapse, dead_letter=args.dead_letter)
+                              collapse=args.collapse, dead_letter=args.dead_letter,
+                              changefeed=args.changefeed)
         for st in stats:
             print(json.dumps(st.__dict__))
         print(json.dumps({"final_rows": table.snapshot().count()}))
@@ -133,6 +143,7 @@ def main() -> None:
             dead_letter=args.dead_letter,
             source=args.source,
             max_chunks_per_trigger=args.max_chunks_per_trigger,
+            changefeed=args.changefeed,
         )
         if args.continuous:
             query.awaitTermination()
@@ -152,6 +163,11 @@ def main() -> None:
         from dipper_spark.plans.lineage import read_lineage
 
         read_lineage(spark, args.table).orderBy("batch_id").show(100, truncate=False)
+    elif args.cmd == "changes":
+        from dipper_spark.plans.target import LocalCowTable
+
+        (LocalCowTable(spark, args.table).changefeed(since_batch=args.since_batch)
+         .orderBy("batch", "change_lsn").show(args.limit, truncate=False))
     spark.stop()
 
 
