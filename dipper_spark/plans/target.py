@@ -623,6 +623,40 @@ class LocalCowTable:
             df = df.filter(F.col("batch") > since_batch)
         return df
 
+    def changefeed_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
+        """Tail the changefeed as a Structured Stream — the downstream
+        consumer shape (e.g. an incremental training-data pipeline
+        keeping a derived dataset in sync): each merge's change files
+        arrive as new stream input, the consumer's checkpoint tracks
+        what it has seen, and exactly-once composes end to end (the
+        feed is exactly-once with the table; the file-source offset
+        log is exactly-once with the consumer).
+
+        Explicit schema (current table schema + change columns) — a
+        streaming source cannot infer, and partition columns scope/
+        batch are declared so Hive-dir values surface as columns."""
+        man = self._load()
+        if not man.get("changefeed"):
+            raise ValueError("table was not created with changefeed=True")
+        if man["schema"] is None:
+            raise FileNotFoundError("changefeed empty: no batch applied yet")
+        schema = T.StructType.fromJson(man["schema"])
+        fields = (
+            [T.StructField(k, schema[k].dataType, False) for k in KEY_COLUMNS]
+            + [T.StructField("change_op", T.StringType(), False)]
+            + [f for f in schema.fields
+               if f.name not in KEY_COLUMNS and f.name not in {x.name for x in SYSTEM_FIELDS}]
+            + [T.StructField("change_ts", T.TimestampType(), True),
+               T.StructField("change_lsn", T.LongType(), True),
+               T.StructField("scope", T.StringType(), True),
+               T.StructField("batch", T.IntegerType(), True)]
+        )
+        r = self.spark.readStream.schema(T.StructType(fields))
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.option("basePath", os.path.join(self.root, "_changes")).parquet(
+            os.path.join(self.root, "_changes"))
+
     # ---------------- maintenance (op C17) ----------------
     def compact(self, drop_tombstones: bool = False) -> int:
         """Rewrite every bucket into a single fresh file (CoW merge churn

@@ -82,3 +82,57 @@ def test_changefeed_disabled_by_default(spark, tmp_path):
     table, _ = replay(spark, log_dir, str(tmp_path / "tbl"))
     with pytest.raises(FileNotFoundError):
         table.changefeed()
+
+
+def test_changefeed_stream_consumer(spark, tmp_path):
+    """Downstream-consumer shape: tail the changefeed as a Structured
+    Stream and keep a derived state in sync — after draining, the
+    consumer's reduced state equals the table snapshot, and a SECOND
+    producer batch arrives as incremental stream input (not a re-read
+    of the whole feed)."""
+    import os
+
+    spec = ChangelogSpec(seed=45, n_conv=60, extra_rate=1.5, dup_rate=0.1)
+    log_dir = str(tmp_path / "log")
+    logical, man = gen_changelog(log_dir, spec)
+    # producer commit 1: one replay batch -> one changefeed batch dir;
+    # the incremental step below re-applies the log under a SECOND
+    # scope (streaming ingest) to produce new batch dirs
+    table, stats1 = replay(spark, log_dir, str(tmp_path / "tbl"), changefeed=True)
+    n_feed1 = table.changefeed().count()
+
+    def drain():
+        # foreachBatch (not the memory sink): it supports checkpoint
+        # RECOVERY, which the incremental step below depends on
+        rows: list = []
+        q = (table.changefeed_stream(max_files_per_trigger=8)
+             .writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+             .option("checkpointLocation", str(tmp_path / "consumer_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return rows
+
+    got1 = drain()
+    assert len(got1) == n_feed1
+    # consumer state == snapshot (reduce by (batch, change_lsn))
+    state: dict = {}
+    for r in sorted(got1, key=lambda r: (r["batch"], r["change_lsn"])):
+        k = (r["conv_id"], r["turn_idx"])
+        if r["change_op"] == "D":
+            state.pop(k, None)
+        else:
+            state[k] = r["text"]
+    assert len(state) == table.snapshot().count()
+
+    # incremental: a new commit under a fresh scope adds change files;
+    # the SAME consumer checkpoint sees only the new rows
+    table2, stats2 = replay(spark, log_dir, str(tmp_path / "tbl"),
+                            changefeed=True)  # same scope -> all skipped
+    assert all(s.skipped for s in stats2)
+    from dipper_spark.streaming.ingest import ingest
+    t3, _, stats3 = ingest(spark, log_dir, str(tmp_path / "tbl"),
+                           str(tmp_path / "ckpt2"), changefeed=True)
+    new_rows = table.changefeed().count() - n_feed1
+    assert new_rows >= 0  # redelivery under a new scope: conflicts -> few/no changes
+    got2 = drain()
+    assert len(got2) == new_rows  # only the NEW batch dirs were read
