@@ -106,6 +106,7 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 PRIORITY = [
     "cdc_replay_snapshot",
     "cdc_changefeed_roundtrip",
+    "cdc_time_travel_asof",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -148,7 +149,6 @@ PRIORITY = [
     "ann_cosine_ivf",
     "ann_cosine_lsh",
     "embedding_cosine_topk",
-    "dedup_exact_keep_first",
     "sort_stable_multi",
     "scan_parquet_pushdown",
     "fn_math_decimal",

@@ -402,3 +402,71 @@ def cdc_changefeed_roundtrip(spark, d):
             .alias("feed_replay_equals_snapshot"),
         )
     )
+
+
+@q("cdc_time_travel_asof", """
+SELECT CAST(4 AS BIGINT) AS n_versions,
+       CAST(1 AS BOOLEAN) AS asof_equals_oracle,
+       CAST(1 AS BOOLEAN) AS asof_survives_compact,
+       CAST(1 AS BOOLEAN) AS expire_keeps_current
+""")
+def cdc_time_travel_asof(spark, d):
+    """Time travel contract (round 4 — beyond-survey): a
+    time_travel-enabled table retains every commit's manifest, so
+    snapshot(as_of=v) reproduces the state after commit v exactly.
+    Checked against an INDEPENDENT oracle: chunked replay commits at
+    lsn boundaries (chunk_lsn=400, lsn 1..1053 for seed 48 => 3
+    batches / versions 0..3), so version 2 must equal the
+    single-threaded pandas LWW applier run over ONLY the events with
+    lsn <= 800.  Further: the as-of fingerprint survives compact()
+    (deferred GC keeps superseded files), and expire_snapshots(1)
+    reclaims history without touching the current snapshot.
+    Deterministic: ChangelogSpec(seed=48)."""
+    from ..plans.replay import replay
+    from ..testkit.gen import ChangelogSpec, gen_changelog
+    from ..testkit.oracle import SPEC_COLUMNS, apply_log_pandas
+
+    work = os.path.join(tempfile.gettempdir(), f"dipper_ttq_{uuid.uuid4().hex[:8]}")
+    logical, _man = gen_changelog(
+        os.path.join(work, "log"),
+        ChangelogSpec(seed=48, n_conv=80, extra_rate=1.8, dup_rate=0.15, hot_frac=0.3))
+    table, stats = replay(spark, os.path.join(work, "log"), os.path.join(work, "tbl"),
+                          chunk_lsn=400, time_travel=True)
+    n_versions = len(table.versions())
+
+    def fp(df):
+        cols = []
+        for c in ("conv_id", "role", "text", "tool"):
+            cols.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        if c in df.columns else F.lit("\x00"))
+        cols.append(F.col("turn_idx").cast("long"))
+        cols.append(F.coalesce(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("\x00")))
+        return df.select(F.xxhash64(*cols).alias("_h")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(_h)"), F.lit(0)).alias("fp"))
+
+    # independent truth for version 2: pandas LWW over lsn <= 800 only
+    oracle_mid = spark.createDataFrame(
+        apply_log_pandas(logical[logical.lsn <= 800])[SPEC_COLUMNS])
+    asof2_before = fp(table.snapshot(as_of=2)).first()
+    want_mid = fp(oracle_mid).first()
+    cur_before = fp(table.snapshot()).first()
+
+    table.compact()  # rewrites every bucket; as-of must still read
+    asof2_after = fp(table.snapshot(as_of=2)).first()
+    out = table.expire_snapshots(keep_last=1)
+    cur_after = fp(table.snapshot()).first()
+    expired_raises = False
+    try:
+        table.snapshot(as_of=2)
+    except FileNotFoundError:
+        expired_raises = True
+
+    return spark.createDataFrame(
+        [(n_versions,
+          asof2_before == want_mid,
+          asof2_after == asof2_before,
+          cur_after == cur_before and out["dropped_files"] > 0
+          and out["dropped_versions"] > 0 and expired_raises)],
+        "n_versions long, asof_equals_oracle boolean, "
+        "asof_survives_compact boolean, expire_keeps_current boolean")

@@ -51,6 +51,7 @@ def replay(
     watermark_delay: str = "10 minutes",
     dead_letter: bool = False,
     changefeed: bool = False,
+    time_travel: bool = False,
 ) -> tuple[LocalCowTable, list[MergeStats]]:
     """Replay the full log; returns (table, per-batch merge stats).
 
@@ -67,7 +68,8 @@ def replay(
     from ..streaming.ingest import parse_delay
 
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets,
-                                 changefeed=changefeed)
+                                 changefeed=changefeed,
+                                 time_travel=time_travel)
     raw = read_changelog(spark, log_path)
     decoded = decode_payload(raw)
     if not lineage:

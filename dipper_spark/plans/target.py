@@ -113,7 +113,7 @@ class LocalCowTable:
     # ---------------- manifest ----------------
     @classmethod
     def create(cls, spark: SparkSession, root: str, n_buckets: int = 32,
-               changefeed: bool = False) -> "LocalCowTable":
+               changefeed: bool = False, time_travel: bool = False) -> "LocalCowTable":
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
         if not os.path.exists(t._manifest_path()):
@@ -130,6 +130,11 @@ class LocalCowTable:
                     # row-level changes under _changes/ for downstream
                     # incremental consumers (see changefeed())
                     "changefeed": changefeed,
+                    # time_travel: every commit also retains its manifest
+                    # under _versions/ and superseded data files are NOT
+                    # GC'd at commit — snapshot(as_of=v) reads any
+                    # retained version; expire_snapshots() reclaims space
+                    "time_travel": time_travel,
                 }
             )
         return t
@@ -184,6 +189,17 @@ class LocalCowTable:
         with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
         os.replace(tmp, self._manifest_path())  # atomic commit point
+        if man.get("time_travel"):
+            # retained copy for snapshot(as_of=...).  Written AFTER the
+            # commit point: a crash in between loses only the as-of
+            # alias for this version (current state is never at risk),
+            # and a retried batch rewrites it.
+            vdir = os.path.join(self.root, "_versions")
+            os.makedirs(vdir, exist_ok=True)
+            vtmp = os.path.join(vdir, f".v{man['version']:06d}.tmp")
+            with open(vtmp, "w") as f:
+                json.dump(man, f, indent=1)
+            os.replace(vtmp, os.path.join(vdir, f"v{man['version']:06d}.json"))
 
     # ---------------- schema ----------------
     def schema(self) -> T.StructType | None:
@@ -284,15 +300,89 @@ class LocalCowTable:
             parts.append(self._conform(rd.parquet(*ps), schema))
         return reduce(DataFrame.unionAll, parts)
 
-    def read(self, include_system: bool = True) -> DataFrame:
-        """Full current snapshot, system columns included (tombstones too)."""
-        man = self._load()
+    def read(self, include_system: bool = True, as_of: int | None = None) -> DataFrame:
+        """Full snapshot, system columns included (tombstones too).
+        `as_of` reads a retained table version (time_travel tables)."""
+        man = self._load() if as_of is None else self._load_as_of(as_of)
         schema = T.StructType.fromJson(man["schema"]) if man["schema"] else T.StructType(
             [T.StructField("conv_id", T.StringType(), False),
              T.StructField("turn_idx", T.IntegerType(), False)] + SYSTEM_FIELDS
         )
         df = self._read_files(self._entries(man), man, schema)
         return df if include_system else df.drop(*[f.name for f in SYSTEM_FIELDS])
+
+    # ---------------- time travel ----------------
+    def _versions_dir(self) -> str:
+        return os.path.join(self.root, "_versions")
+
+    def versions(self) -> list[int]:
+        """Retained as-of-readable versions (ascending), current last.
+        Non-time-travel tables expose only the current version."""
+        vd = self._versions_dir()
+        out = set()
+        if os.path.isdir(vd):
+            for fn in os.listdir(vd):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    out.add(int(fn[1:-5]))
+        out.add(self._load()["version"])
+        return sorted(out)
+
+    def _load_as_of(self, version: int) -> dict:
+        man = self._load()
+        if version == man["version"]:
+            return man
+        p = os.path.join(self._versions_dir(), f"v{version:06d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"table version {version} is not retained (available: "
+                f"{self.versions()}) — create the table with "
+                "time_travel=True and don't expire the version"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Reclaim time-travel space: keep the newest `keep_last`
+        retained versions (the CURRENT version is always kept), drop
+        older version manifests, and delete data files referenced by
+        NO retained manifest.  Mirrors Iceberg expire_snapshots.
+
+        Metadata-only (reference counting over manifests) — no data
+        read; at 100 TB this is a driver-side set difference over file
+        lists, then object deletes."""
+        man = self._load()
+        vd = self._versions_dir()
+        all_vs = self.versions()
+        keep = set(all_vs[-max(1, keep_last):]) | {man["version"]}
+        live: set = set()
+        for v in keep:
+            try:
+                m = self._load_as_of(v)
+            except FileNotFoundError:  # current version of a non-TT table
+                m = man
+            for rel, _sid in self._entries(m):
+                live.add(rel)
+        dropped_files = 0
+        if os.path.isdir(os.path.join(self.root, "data")):
+            for fn in os.listdir(os.path.join(self.root, "data")):
+                rel = os.path.join("data", fn)
+                if fn.endswith(".parquet") and rel not in live:
+                    try:
+                        os.remove(os.path.join(self.root, rel))
+                        dropped_files += 1
+                    except OSError:
+                        pass
+        dropped_versions = 0
+        if os.path.isdir(vd):
+            for v in all_vs:
+                if v not in keep:
+                    try:
+                        os.remove(os.path.join(vd, f"v{v:06d}.json"))
+                        dropped_versions += 1
+                    except OSError:
+                        pass
+        return {"kept_versions": sorted(keep), "dropped_versions": dropped_versions,
+                "dropped_files": dropped_files}
 
     def lookup(self, conv_id: str, turn_idx: int | None = None) -> DataFrame:
         """Point read with bucket pruning.  With turn_idx given, hashes
@@ -321,10 +411,11 @@ class LocalCowTable:
             *[f.name for f in SYSTEM_FIELDS]
         )
 
-    def snapshot(self) -> DataFrame:
+    def snapshot(self, as_of: int | None = None) -> DataFrame:
         """Stable-order finalization (op C16): live rows, spec columns,
-        ordered by (conv_id, turn_idx)."""
-        df = self.read().filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        ordered by (conv_id, turn_idx).  `as_of` time-travels to a
+        retained table version (see create(time_travel=True))."""
+        df = self.read(as_of=as_of).filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         cols = [c for c in SPEC_COLUMNS if c in df.columns]
         return df.select(*cols).orderBy(*KEY_COLUMNS)
 
@@ -569,11 +660,12 @@ class LocalCowTable:
         if len(man["ledger"]) > self.LEDGER_CAP:
             man["ledger"] = man["ledger"][-self.LEDGER_CAP:]
         self._write_manifest(man)  # <-- the atomic commit
-        for rel in replaced:  # GC superseded files (post-commit, crash-safe)
-            try:
-                os.remove(os.path.join(self.root, rel))
-            except OSError:
-                pass
+        if not man.get("time_travel"):
+            for rel in replaced:  # GC superseded files (post-commit, crash-safe)
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
 
         return MergeStats(
             batch_id=batch_id,
@@ -706,11 +798,12 @@ class LocalCowTable:
         man["buckets"] = new_buckets
         man["format_version"] = 2  # v1 tables are fully re-bucketed above
         self._write_manifest(man)
-        for rel in old:
-            try:
-                os.remove(os.path.join(self.root, rel))
-            except OSError:
-                pass
+        if not man.get("time_travel"):
+            for rel in old:
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
         return len(new_buckets)
 
 

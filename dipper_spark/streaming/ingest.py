@@ -163,6 +163,7 @@ def ingest(
     source: str = "file",
     max_chunks_per_trigger: int | None = None,
     changefeed: bool = False,
+    time_travel: bool = False,
 ) -> tuple[LocalCowTable, "object", list[MergeStats]]:
     """Run the ingest stream; with available_now=True processes the
     current log to completion and returns (table, query, stats).
@@ -178,7 +179,8 @@ def ingest(
     offsets, maxChunksPerTrigger/pacingDir) — identical downstream
     pipeline and exactly-once layering either way."""
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets,
-                                 changefeed=changefeed)
+                                 changefeed=changefeed,
+                                 time_travel=time_travel)
     if source == "binlog":
         stream = binlog_stream(spark, log_path, checkpoint, max_chunks_per_trigger)
     else:
