@@ -107,6 +107,7 @@ PRIORITY = [
     "cdc_replay_snapshot",
     "cdc_changefeed_roundtrip",
     "cdc_time_travel_asof",
+    "cdc_ivm_incremental",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -148,7 +149,6 @@ PRIORITY = [
     "multimodal_frame_sample",
     "ann_cosine_ivf",
     "ann_cosine_lsh",
-    "embedding_cosine_topk",
     "sort_stable_multi",
     "scan_parquet_pushdown",
     "fn_math_decimal",

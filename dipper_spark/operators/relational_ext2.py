@@ -470,3 +470,50 @@ def cdc_time_travel_asof(spark, d):
           and out["dropped_versions"] > 0 and expired_raises)],
         "n_versions long, asof_equals_oracle boolean, "
         "asof_survives_compact boolean, expire_keeps_current boolean")
+
+
+@q("cdc_ivm_incremental", """
+SELECT CAST(1 AS BOOLEAN) AS view_equals_recompute,
+       CAST(1 AS BOOLEAN) AS second_refresh_incremental,
+       CAST(1 AS BOOLEAN) AS idempotent_noop
+""")
+def cdc_ivm_incremental(spark, d):
+    """Incremental view maintenance contract (round 4): a grouped
+    SUM/COUNT view maintained purely from changefeed deltas (plus
+    e(after) for I/U, minus e(before) for U/D — plans/ivm.py) must
+    equal a full recompute from the base table, a second refresh after
+    a new producer pass must consume ONLY the new (scope, batch)
+    partitions, and a refresh with nothing pending must be a no-op.
+    Deterministic: ChangelogSpec(seed=49)."""
+    from ..plans.ivm import IncrementalView
+    from ..plans.replay import replay
+    from ..streaming.ingest import ingest
+    from ..testkit.gen import ChangelogSpec, gen_changelog
+
+    work = os.path.join(tempfile.gettempdir(), f"dipper_ivmq_{uuid.uuid4().hex[:8]}")
+    gen_changelog(os.path.join(work, "log"),
+                  ChangelogSpec(seed=49, n_conv=70, extra_rate=1.8, dup_rate=0.15))
+    table, _ = replay(spark, os.path.join(work, "log"), os.path.join(work, "tbl"),
+                      chunk_lsn=400, changefeed=True)
+    view = IncrementalView(spark, table, os.path.join(work, "view"), ["conv_id"],
+                           {"n_turns": "1", "chars": "length(coalesce(text, ''))"})
+    first = view.refresh()
+
+    def equals_recompute():
+        got = view.read().toPandas().sort_values(["conv_id"]).reset_index(drop=True)
+        want = view.full_recompute().toPandas().sort_values(["conv_id"]).reset_index(drop=True)
+        return got.shape == want.shape and bool(
+            (got.values == want.values).all())
+
+    eq1 = equals_recompute()
+    ingest(spark, os.path.join(work, "log"), os.path.join(work, "tbl"),
+           os.path.join(work, "ckpt"), changefeed=True)
+    second = view.refresh()
+    incremental = bool(second["consumed"]) and all(
+        tag not in first["consumed"] for tag in second["consumed"])
+    eq2 = equals_recompute()
+    noop = view.refresh()["noop"]
+    return spark.createDataFrame(
+        [(eq1 and eq2, incremental, bool(noop))],
+        "view_equals_recompute boolean, second_refresh_incremental boolean, "
+        "idempotent_noop boolean")

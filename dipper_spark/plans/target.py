@@ -559,6 +559,16 @@ class LocalCowTable:
             F.col("s._lsn").alias("_slsn"),
             (F.col("s.source_offset") if has_off else F.lit(None).cast("long")).alias("_soff"),
         ]
+        if man.get("changefeed"):
+            # pre-image (Debezium-style `before`) for the changefeed:
+            # the target's LIVE values this change replaced — null for
+            # inserts, resurrections over tombstones, and deletes of
+            # absent/dead keys.  Only carried when a feed consumer
+            # exists; `final` drops it so the table never widens.
+            live_t = tgt_has & ~F.coalesce(F.col("t._deleted"), F.lit(False))
+            markers.append(
+                F.when(live_t, F.struct(*[F.col(f"t.{c}").alias(c) for c in data_cols]))
+                .alias("_before"))
         merged = joined.select(*out_cols, *markers)
 
         obs = Observation(f"merge_{batch_id}")
@@ -575,7 +585,8 @@ class LocalCowTable:
             F.min("_soff").alias("off_min"),
             F.max("_soff").alias("off_max"),
         )
-        final = merged.drop("_w", "_ins", "_upd", "_del", "_conf", "_ne", "_nu", "_slsn", "_soff")
+        final = merged.drop("_w", "_ins", "_upd", "_del", "_conf", "_ne", "_nu",
+                            "_slsn", "_soff", "_before")
 
         # --- changefeed OUT (CDC both directions): emit this batch's
         # APPLIED row-level changes for downstream incremental
@@ -596,6 +607,7 @@ class LocalCowTable:
                       .otherwise(F.lit("I")).alias("change_op"))
             (merged.filter(F.col("_w"))
              .select(*KEY_COLUMNS, ch_op, *data_cols,
+                     F.col("_before").alias("before"),
                      F.col("_op_ts").alias("change_ts"),
                      F.col("_lsn").alias("change_lsn"))
              .write.mode("overwrite")
@@ -695,7 +707,11 @@ class LocalCowTable:
                    scope: str | None = None) -> DataFrame:
         """Row-level change stream of a changefeed-enabled table
         (CDC OUT): one row per applied change with `change_op` I/U/D,
-        the post-change data columns (nulls for D), the winning
+        the post-change data columns (nulls for D), a `before` struct
+        holding the replaced LIVE values (null for I / resurrections /
+        deletes of dead keys — the Debezium before/after shape, and
+        what makes SUM/COUNT aggregates incrementally maintainable,
+        see plans/ivm.py), the winning
         (change_ts, change_lsn), plus Hive-partition columns `scope`
         (8-hex tag) and `batch` for incremental consumption —
         `since_batch` prunes to `batch > since_batch` at the DIRECTORY
@@ -733,12 +749,16 @@ class LocalCowTable:
         if man["schema"] is None:
             raise FileNotFoundError("changefeed empty: no batch applied yet")
         schema = T.StructType.fromJson(man["schema"])
+        data_fields = [f for f in schema.fields
+                       if f.name not in KEY_COLUMNS
+                       and f.name not in {x.name for x in SYSTEM_FIELDS}]
         fields = (
             [T.StructField(k, schema[k].dataType, False) for k in KEY_COLUMNS]
             + [T.StructField("change_op", T.StringType(), False)]
-            + [f for f in schema.fields
-               if f.name not in KEY_COLUMNS and f.name not in {x.name for x in SYSTEM_FIELDS}]
-            + [T.StructField("change_ts", T.TimestampType(), True),
+            + data_fields
+            + [T.StructField("before", T.StructType(
+                   [T.StructField(f.name, f.dataType, True) for f in data_fields]), True),
+               T.StructField("change_ts", T.TimestampType(), True),
                T.StructField("change_lsn", T.LongType(), True),
                T.StructField("scope", T.StringType(), True),
                T.StructField("batch", T.IntegerType(), True)]
