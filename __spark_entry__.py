@@ -108,6 +108,7 @@ PRIORITY = [
     "cdc_changefeed_roundtrip",
     "cdc_time_travel_asof",
     "cdc_ivm_incremental",
+    "cdc_upsert_api",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -146,7 +147,6 @@ PRIORITY = [
     "subquery_correlated_exists",
     "subquery_in_having_cte",
     "dedup_ngram_jaccard_exact",
-    "multimodal_frame_sample",
     "ann_cosine_ivf",
     "ann_cosine_lsh",
     "sort_stable_multi",

@@ -517,3 +517,50 @@ def cdc_ivm_incremental(spark, d):
         [(eq1 and eq2, incremental, bool(noop))],
         "view_equals_recompute boolean, second_refresh_incremental boolean, "
         "idempotent_noop boolean")
+
+
+@q("cdc_upsert_api", """
+SELECT CAST(1 AS BOOLEAN) AS upsert_applied,
+       CAST(1 AS BOOLEAN) AS stale_rejected,
+       CAST(1 AS BOOLEAN) AS delete_where_idempotent
+""")
+def cdc_upsert_api(spark, d):
+    """Public MERGE surface contract (round 4): Delta-style upsert()
+    and delete_where() on the CoW table, same LWW (ts, lsn) rule as
+    the CDC path — an upsert with a newer ts applies (insert+update),
+    a staler ts is rejected as a conflict, and a predicate delete
+    tombstones exactly the matching live rows and is a no-op when
+    re-run.  Deterministic: ChangelogSpec(seed=50)."""
+    import datetime as _dt
+
+    from ..plans.replay import replay
+    from ..testkit.gen import ChangelogSpec, gen_changelog
+
+    work = os.path.join(tempfile.gettempdir(), f"dipper_upq_{uuid.uuid4().hex[:8]}")
+    gen_changelog(os.path.join(work, "log"),
+                  ChangelogSpec(seed=50, n_conv=40, extra_rate=1.2, dup_rate=0.1))
+    table, _ = replay(spark, os.path.join(work, "log"), os.path.join(work, "tbl"))
+    first = table.snapshot().first()
+    later, earlier = _dt.datetime(2027, 1, 1), _dt.datetime(2020, 1, 1)
+    src = spark.createDataFrame(
+        [(first["conv_id"], first["turn_idx"], "assistant", "api-updated", later),
+         ("conv-api-new", 0, "user", "api-inserted", later)],
+        "conv_id string, turn_idx long, role string, text string, ts timestamp")
+    st1 = table.upsert(src)
+    stale = spark.createDataFrame(
+        [(first["conv_id"], first["turn_idx"], "assistant", "stale", earlier)],
+        "conv_id string, turn_idx long, role string, text string, ts timestamp")
+    st2 = table.upsert(stale)
+    kept = table.snapshot().filter(
+        (F.col("conv_id") == first["conv_id"])
+        & (F.col("turn_idx") == first["turn_idx"])).first()["text"]
+    n_match = table.snapshot().filter("turn_idx >= 5").count()
+    st3 = table.delete_where("turn_idx >= 5")
+    st4 = table.delete_where("turn_idx >= 5")
+    return spark.createDataFrame(
+        [(st1.inserts == 1 and st1.updates == 1,
+          st2.rows_applied == 0 and st2.conflicts == 1 and kept == "api-updated",
+          st3.deletes == n_match and n_match > 0 and st4.deletes == 0
+          and table.snapshot().filter("turn_idx >= 5").count() == 0)],
+        "upsert_applied boolean, stale_rejected boolean, "
+        "delete_where_idempotent boolean")

@@ -694,6 +694,72 @@ class LocalCowTable:
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
 
+    # ---------------- public MERGE surface (arbitrary DataFrames) ----------
+    def _next_batch_id(self, man: dict, scope: str) -> int:
+        ids = [e["batch_id"] for e in man["ledger"]
+               if e.get("scope", "default") == scope]
+        return (max(ids) + 1) if ids else 0
+
+    def upsert(self, df: DataFrame, scope: str = "api",
+               batch_id: int | None = None) -> MergeStats:
+        """Delta-style MERGE of an arbitrary keyed DataFrame — the
+        user-facing upsert surface (no changelog required).
+
+        Contract: df carries the key columns, any data columns, and an
+        event-time `ts`; rows REPLACE the whole row per key (the
+        engine's merge rule — columns absent from df become null, new
+        columns schema-evolve).  Conflict resolution is the same LWW
+        (ts, lsn) order as the CDC path: a source row applies iff its
+        (ts, lsn) beats the target's, so stale upserts are rejected
+        rather than clobbering newer data.  `lsn` defaults to a
+        deterministic hash of (key, ts) when absent; an optional
+        boolean `is_delete` column marks tombstone rows.  Multiple
+        source rows per key are collapsed to the LWW winner first
+        (same kernel as the changelog path)."""
+        from ..operators.cdc import lww_collapse
+
+        if "ts" not in df.columns:
+            raise ValueError("upsert frame must carry an event-time 'ts' column")
+        if "lsn" not in df.columns:
+            df = df.withColumn(
+                "lsn", F.xxhash64(*KEY_COLUMNS, F.col("ts").cast("string")))
+        if "is_delete" in df.columns:
+            df = df.withColumn(
+                "op", F.when(F.coalesce(F.col("is_delete"), F.lit(False)),
+                             F.lit("D")).otherwise(F.lit("U"))).drop("is_delete")
+        elif "op" not in df.columns:
+            df = df.withColumn("op", F.lit("U"))
+        carry = ["op", "ts", "lsn"] + [c for c in df.columns
+                                       if c not in KEY_COLUMNS
+                                       and c not in ("op", "ts", "lsn")]
+        collapsed = lww_collapse(df, carry=carry)
+        man = self._load()
+        if batch_id is None:
+            batch_id = self._next_batch_id(man, scope)
+        return self.merge(collapsed, batch_id=batch_id, scope=scope)
+
+    def delete_where(self, predicate: str, scope: str = "api") -> MergeStats:
+        """Predicate delete: tombstone every LIVE row matching the SQL
+        predicate.  Reads only the matching rows (parquet row-group
+        pruning applies), emits tombstones that win by construction —
+        same ts as the victim row, lsn + 1 — so the delete lands
+        exactly once and an identical re-run is a no-op (no live rows
+        match anymore).  Staler events still cannot resurrect the key:
+        the tombstone's (ts, lsn) guards it like any CDC delete."""
+        live = self.read().filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))).filter(predicate)
+        src = live.select(
+            *KEY_COLUMNS,
+            F.col("_op_ts").alias("ts"),
+            (F.col("_lsn") + 1).alias("lsn"),
+            F.lit("D").alias("op"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.lit(1).cast("long").alias("n_unique"),
+            F.lit(True).alias("is_delete"),
+        )
+        man = self._load()
+        return self.merge(src, batch_id=self._next_batch_id(man, scope), scope=scope)
+
     @staticmethod
     def _scope_tag(scope: str) -> str:
         """Filesystem-safe 8-hex tag for a scope (checkpoint paths are
