@@ -720,6 +720,9 @@ class LocalCowTable:
 
         if "ts" not in df.columns:
             raise ValueError("upsert frame must carry an event-time 'ts' column")
+        # parquet written by pandas/pyarrow often surfaces as
+        # timestamp_ntz; the engine's event time is session-tz timestamp
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         if "lsn" not in df.columns:
             df = df.withColumn(
                 "lsn", F.xxhash64(*KEY_COLUMNS, F.col("ts").cast("string")))

@@ -6,9 +6,15 @@ Commands:
   gen      --out DIR [--n-conv N] [--seed S] [...]      generate a changelog
   replay   --log DIR --table DIR [--chunk-lsn N]        batch backfill (op C15)
   ingest   --log DIR --table DIR --checkpoint DIR       streaming ingest (C1..C14)
-  snapshot --table DIR [--limit N]                      stable-order snapshot (C16)
+  snapshot --table DIR [--limit N] [--as-of V]          stable-order snapshot (C16)
   compact  --table DIR [--drop-tombstones]              file compaction (C17)
   lineage  --table DIR                                  show lineage records
+  versions --table DIR                                  retained time-travel versions
+  expire   --table DIR [--keep-last K]                  reclaim time-travel space
+  upsert   --table DIR --parquet PATH                   Delta-style MERGE of a file
+  delete   --table DIR --where PRED                     predicate tombstones
+  view-refresh --table DIR --view DIR --group-by COLS [--agg n=expr ...]
+                                                        incremental aggregate view
 
 Packaging: `python main.py zip` writes dipper_spark.zip for --py-files.
 """
@@ -58,6 +64,8 @@ def main() -> None:
                    help="persist op-C4 rejected rows under <table>/_deadletter")
     r.add_argument("--changefeed", action="store_true",
                    help="emit row-level changes under <table>/_changes (CDC out)")
+    r.add_argument("--time-travel", action="store_true",
+                   help="retain per-commit manifests for snapshot --as-of")
 
     i = sub.add_parser("ingest")
     i.add_argument("--log", required=True)
@@ -77,10 +85,14 @@ def main() -> None:
                         "the checkpoint; processingTime triggers only)")
     i.add_argument("--changefeed", action="store_true",
                    help="emit row-level changes under <table>/_changes (CDC out)")
+    i.add_argument("--time-travel", action="store_true",
+                   help="retain per-commit manifests for snapshot --as-of")
 
     s = sub.add_parser("snapshot")
     s.add_argument("--table", required=True)
     s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--as-of", type=int, default=None,
+                   help="time-travel to a retained table version")
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
@@ -93,6 +105,31 @@ def main() -> None:
     ch.add_argument("--table", required=True)
     ch.add_argument("--since-batch", type=int, default=None)
     ch.add_argument("--limit", type=int, default=20)
+
+    v = sub.add_parser("versions", help="retained time-travel versions")
+    v.add_argument("--table", required=True)
+
+    e = sub.add_parser("expire", help="expire time-travel snapshots")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=1)
+
+    u = sub.add_parser("upsert", help="Delta-style MERGE of a parquet file")
+    u.add_argument("--table", required=True)
+    u.add_argument("--parquet", required=True,
+                   help="parquet with key columns, data columns, event-time ts")
+
+    dl = sub.add_parser("delete", help="tombstone live rows matching a predicate")
+    dl.add_argument("--table", required=True)
+    dl.add_argument("--where", required=True)
+
+    vr = sub.add_parser("view-refresh", help="maintain an incremental aggregate view")
+    vr.add_argument("--table", required=True)
+    vr.add_argument("--view", required=True)
+    vr.add_argument("--group-by", required=True, help="comma-separated group columns")
+    vr.add_argument("--agg", action="append", default=[],
+                    help="name=row_expr (view value = SUM(row_expr) over live "
+                         "rows); repeatable; default n_turns=1")
+    vr.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("zip")
 
@@ -128,7 +165,8 @@ def main() -> None:
         table, stats = replay(spark, args.log, args.table, n_salts=args.n_salts,
                               n_buckets=args.n_buckets, chunk_lsn=args.chunk_lsn,
                               collapse=args.collapse, dead_letter=args.dead_letter,
-                              changefeed=args.changefeed)
+                              changefeed=args.changefeed,
+                              time_travel=args.time_travel)
         for st in stats:
             print(json.dumps(st.__dict__))
         print(json.dumps({"final_rows": table.snapshot().count()}))
@@ -144,6 +182,7 @@ def main() -> None:
             source=args.source,
             max_chunks_per_trigger=args.max_chunks_per_trigger,
             changefeed=args.changefeed,
+            time_travel=args.time_travel,
         )
         if args.continuous:
             query.awaitTermination()
@@ -153,7 +192,7 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         t = LocalCowTable(spark, args.table)
-        t.snapshot().show(args.limit, truncate=40)
+        t.snapshot(as_of=args.as_of).show(args.limit, truncate=40)
     elif args.cmd == "compact":
         from dipper_spark.plans.target import LocalCowTable
 
@@ -168,6 +207,35 @@ def main() -> None:
 
         (LocalCowTable(spark, args.table).changefeed(since_batch=args.since_batch)
          .orderBy("batch", "change_lsn").show(args.limit, truncate=False))
+    elif args.cmd == "versions":
+        from dipper_spark.plans.target import LocalCowTable
+
+        print(json.dumps({"versions": LocalCowTable(spark, args.table).versions()}))
+    elif args.cmd == "expire":
+        from dipper_spark.plans.target import LocalCowTable
+
+        out = LocalCowTable(spark, args.table).expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps(out))
+    elif args.cmd == "upsert":
+        from dipper_spark.plans.target import LocalCowTable
+
+        st = LocalCowTable(spark, args.table).upsert(spark.read.parquet(args.parquet))
+        print(json.dumps(st.__dict__))
+    elif args.cmd == "delete":
+        from dipper_spark.plans.target import LocalCowTable
+
+        st = LocalCowTable(spark, args.table).delete_where(args.where)
+        print(json.dumps(st.__dict__))
+    elif args.cmd == "view-refresh":
+        from dipper_spark.plans.ivm import IncrementalView
+        from dipper_spark.plans.target import LocalCowTable
+
+        aggs = dict(a.split("=", 1) for a in args.agg) or {"n_turns": "1"}
+        view = IncrementalView(spark, LocalCowTable(spark, args.table), args.view,
+                               args.group_by.split(","), aggs)
+        out = view.refresh()
+        print(json.dumps(out))
+        view.read().orderBy(*args.group_by.split(",")).show(args.limit, truncate=False)
     spark.stop()
 
 
