@@ -793,7 +793,10 @@ class LocalCowTable:
             raise FileNotFoundError(
                 f"{base} does not exist — was the table created with "
                 f"changefeed=True and has a merge been applied?")
-        df = self.spark.read.parquet(base)
+        # mergeSchema: batches written before an ADD-column evolution
+        # lack the new column — without the union the inferred schema
+        # could come from an OLD batch and silently drop it
+        df = self.spark.read.option("mergeSchema", "true").parquet(base)
         if scope is not None:
             df = df.filter(F.col("scope") == self._scope_tag(scope))
         if since_batch is not None:

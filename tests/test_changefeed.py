@@ -136,3 +136,33 @@ def test_changefeed_stream_consumer(spark, tmp_path):
     assert new_rows >= 0  # redelivery under a new scope: conflicts -> few/no changes
     got2 = drain()
     assert len(got2) == new_rows  # only the NEW batch dirs were read
+
+
+def test_changefeed_across_schema_evolution(spark, tmp_path):
+    """Batches emitted BEFORE an ADD-column evolution lack the new
+    column; the feed read must mergeSchema so the evolved column
+    survives (nulls for old batches) and feed-replay still reproduces
+    the snapshot — including the evolved column."""
+    from pyspark.sql import functions as F
+
+    from dipper_spark.testkit.gen import ChangelogSpec as CS
+
+    spec = CS(seed=46, n_conv=60, extra_rate=1.0, evolution_lsn_frac=0.5,
+              shuffle_window=5)
+    log_dir = str(tmp_path / "log")
+    logical, man = gen_changelog(log_dir, spec)
+    table, stats = replay(spark, log_dir, str(tmp_path / "tbl"),
+                          chunk_lsn=man["n_events"] // 4 + 1, changefeed=True)
+    feed = table.changefeed()
+    assert "tool" in feed.columns  # evolved column present despite v1-only batches
+    assert "tool" in feed.select("before.*").columns
+    # reduce feed per key -> equals snapshot incl. the evolved column
+    ordk = F.struct(F.col("batch"), F.col("change_lsn"))
+    val = F.struct(*[F.col(c) for c in ["change_op", "role", "text", "tool", "ts"]])
+    last = feed.groupBy("conv_id", "turn_idx").agg(F.max_by(val, ordk).alias("_w"))
+    replayed = (last.filter(F.col("_w.change_op") != "D")
+                .select("conv_id", "turn_idx", "_w.role", "_w.text", "_w.tool", "_w.ts")
+                .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    snap = (table.snapshot().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(replayed, snap, check_dtype=False)
