@@ -109,6 +109,7 @@ PRIORITY = [
     "cdc_time_travel_asof",
     "cdc_ivm_incremental",
     "cdc_upsert_api",
+    "stream_changefeed_tail",
     "dedup_minhash_lsh",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -153,7 +154,6 @@ PRIORITY = [
     "scan_parquet_pushdown",
     "fn_math_decimal",
     "stream_stateful_lww",
-    "dedup_cluster_canonical",
 ]
 
 

@@ -564,3 +564,59 @@ def cdc_upsert_api(spark, d):
           and table.snapshot().filter("turn_idx >= 5").count() == 0)],
         "upsert_applied boolean, stale_rejected boolean, "
         "delete_where_idempotent boolean")
+
+
+@q("stream_changefeed_tail", """
+SELECT CAST(1 AS BOOLEAN) AS drained_equals_feed,
+       CAST(1 AS BOOLEAN) AS incremental_tail,
+       CAST(1 AS BOOLEAN) AS state_equals_snapshot
+""")
+def stream_changefeed_tail(spark, d):
+    """Streaming changefeed consumer contract (round 4): tailing the
+    feed with changefeed_stream() + foreachBatch + checkpoint must
+    (a) deliver exactly the feed's rows, (b) after a SECOND producer
+    commit deliver ONLY the new batch dirs (the file-source offset log
+    remembers consumed files), and (c) reducing the delivered changes
+    per key by (batch, change_lsn) reproduces the live snapshot row
+    count.  Deterministic: ChangelogSpec(seed=44)."""
+    from ..plans.replay import replay
+    from ..streaming.ingest import ingest
+    from ..testkit.gen import ChangelogSpec, gen_changelog
+
+    work = os.path.join(tempfile.gettempdir(), f"dipper_cfs_{uuid.uuid4().hex[:8]}")
+    gen_changelog(os.path.join(work, "log"),
+                  ChangelogSpec(seed=44, n_conv=50, extra_rate=1.5, dup_rate=0.1))
+    table, _ = replay(spark, os.path.join(work, "log"), os.path.join(work, "tbl"),
+                      changefeed=True)
+    n_feed1 = table.changefeed().count()
+
+    rows: list = []
+
+    def drain():
+        got: list = []
+        qy = (table.changefeed_stream(max_files_per_trigger=8)
+              .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+              .option("checkpointLocation", os.path.join(work, "consumer_ckpt"))
+              .trigger(availableNow=True).start())
+        qy.awaitTermination()
+        rows.extend(got)
+        return len(got)
+
+    n1 = drain()
+    ingest(spark, os.path.join(work, "log"), os.path.join(work, "tbl"),
+           os.path.join(work, "ckpt2"), changefeed=True)
+    n_new = table.changefeed().count() - n_feed1
+    n2 = drain()
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: (r["batch"], r["change_lsn"])):
+        k = (r["conv_id"], r["turn_idx"])
+        if r["change_op"] == "D":
+            state.pop(k, None)
+        else:
+            state[k] = r["text"]
+    return spark.createDataFrame(
+        [(n1 == n_feed1 and n_feed1 > 0,
+          n2 == n_new,
+          len(state) == table.snapshot().count())],
+        "drained_equals_feed boolean, incremental_tail boolean, "
+        "state_equals_snapshot boolean")
