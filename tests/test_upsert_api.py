@@ -107,3 +107,80 @@ def test_upsert_requires_ts(spark, tmp_path):
                                 "conv_id string, turn_idx long, text string")
     with pytest.raises(ValueError, match="ts"):
         table.upsert(src)
+
+
+# ---------------- property: random API-call interleavings ----------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def api_scripts(draw):
+    """A random script of upsert/delete_where calls over a small key
+    space, with ts values drawn so LWW conflicts actually occur."""
+    n_ops = draw(st.integers(min_value=2, max_value=6))
+    ops = []
+    for _ in range(n_ops):
+        if draw(st.booleans()):
+            n_rows = draw(st.integers(min_value=1, max_value=5))
+            rows = []
+            for _ in range(n_rows):
+                conv = f"c{draw(st.integers(min_value=0, max_value=2))}"
+                turn = draw(st.integers(min_value=0, max_value=2))
+                day = draw(st.integers(min_value=1, max_value=9))
+                rows.append((conv, turn, f"t{day}", dt.datetime(2026, 1, day)))
+            ops.append(("upsert", rows))
+        else:
+            cut = draw(st.integers(min_value=0, max_value=2))
+            ops.append(("delete", f"turn_idx >= {cut}"))
+    return ops
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(script=api_scripts())
+def test_api_interleaving_matches_dict_oracle(spark, tmp_path_factory, script):
+    """Any interleaving of upsert/delete_where equals a sequential
+    dict applier that follows the same LWW + tombstone rules."""
+    root = str(tmp_path_factory.mktemp("api_tbl"))
+    table = LocalCowTable.create(spark, root, n_buckets=8)
+    # oracle state: key -> (text, ts, lsn, deleted)
+    state: dict = {}
+
+    def lsn_of(conv, turn, ts):
+        import pyspark.sql.functions as F
+        return (spark.createDataFrame([(conv, turn)], "conv_id string, turn_idx long")
+                .select(F.xxhash64("conv_id", "turn_idx",
+                                   F.lit(ts.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+                                   .cast("string")).alias("l")).first()["l"])
+
+    for kind, arg in script:
+        if kind == "upsert":
+            df = spark.createDataFrame(
+                [(c, t, txt, ts) for c, t, txt, ts in arg],
+                "conv_id string, turn_idx long, text string, ts timestamp")
+            table.upsert(df)
+            # oracle: collapse the frame per key by (ts, lsn), then LWW-apply
+            per_key: dict = {}
+            for c, t, txt, ts in arg:
+                l = lsn_of(c, t, ts)
+                k = (c, t)
+                if k not in per_key or (ts, l) > (per_key[k][1], per_key[k][2]):
+                    per_key[k] = (txt, ts, l)
+            for k, (txt, ts, l) in per_key.items():
+                cur = state.get(k)
+                if cur is None or (ts, l) > (cur[1], cur[2]):
+                    state[k] = (txt, ts, l, False)
+        else:
+            cut = int(arg.split(">= ")[1])
+            for k, (txt, ts, l, dead) in list(state.items()):
+                if not dead and k[1] >= cut:
+                    state[k] = (txt, ts, l + 1, True)
+            table.delete_where(arg)
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in table.snapshot().collect())
+    want = sorted((k[0], k[1], v[0]) for k, v in state.items() if not v[3])
+    assert got == want
