@@ -596,12 +596,17 @@ class LocalCowTable:
         # never rewrites them at all — the feed is exactly-once like
         # the table.  Written BEFORE the manifest swap: an orphan from
         # a torn merge is overwritten by the retry that commits.
-        # Costs one extra action over the (persisted) net-change plan;
-        # on fresh-table single-pass backfills that means a second
-        # pipeline pass, so enable changefeed only where a consumer
-        # exists.  scope=/batch= Hive-style dirs give readers
-        # partition pruning for "changes since batch N".
-        if man.get("changefeed"):
+        # Costs one extra action over the (persisted) net-change plan.
+        # Fresh-table single-pass backfills take a cheaper route: with
+        # no target, every applied row is exactly what the CoW write
+        # just produced (insert or tombstone, before-image always
+        # null), so the feed is emitted by READING BACK the written
+        # files after the rename loop below — a columnar scan of the
+        # final rows instead of a second full pipeline pass (measured
+        # 1.76x -> see tools/changefeed_bench.py).
+        # scope=/batch= Hive-style dirs give readers partition pruning
+        # for "changes since batch N".
+        if man.get("changefeed") and not fresh:
             ch_op = (F.when(F.col("_del"), F.lit("D"))
                       .when(F.col("_upd"), F.lit("U"))
                       .otherwise(F.lit("I")).alias("change_op"))
@@ -656,6 +661,29 @@ class LocalCowTable:
             replaced += [e if isinstance(e, str) else e[0] for e in man["buckets"].get(str(b), [])]
             new_buckets[str(b)] = rels
         shutil.rmtree(tmp, ignore_errors=True)
+
+        # fresh-table changefeed: read back the files just renamed into
+        # place (still pre-manifest-swap, so the exactly-once story is
+        # unchanged) — every row is this batch's applied change.
+        if man.get("changefeed") and fresh:
+            paths = [os.path.join(self.root, e[0])
+                     for b in touched for e in new_buckets[str(b)]]
+            phys = schema  # the write schema already carries the system fields
+            before_t = T.StructType(
+                [T.StructField(c, schema[c].dataType, True) for c in data_cols])
+            if paths:
+                (self.spark.read.schema(phys).parquet(*paths)
+                 .select(*KEY_COLUMNS,
+                         F.when(F.coalesce(F.col("_deleted"), F.lit(False)),
+                                F.lit("D")).otherwise(F.lit("I")).alias("change_op"),
+                         *data_cols,
+                         F.lit(None).cast(before_t).alias("before"),
+                         F.col("_op_ts").alias("change_ts"),
+                         F.col("_lsn").alias("change_lsn"))
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self.root, "_changes",
+                                       f"scope={self._scope_tag(scope)}",
+                                       f"batch={batch_id}")))
 
         man["version"] = ver
         man["schema"] = schema.jsonValue()
