@@ -54,33 +54,43 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
-def run_canary(spark) -> float:
+def run_canary(spark, heavy: bool = False) -> float:
     """In-band host-calibration canary (round 4, VERDICT r3 #2): a
     fixed seeded pure-Spark shuffle+sort job — NO engine code — timed
-    in the same session as the suite.  Cross-round bench numbers on
-    this host are dominated by multi-minute external interference
-    windows (the r3 cdc_replay number looked like a 42% regression and
-    needed a two-tree A/B to adjudicate); dividing engine walls by the
-    canary wall makes host drift one division.  Best-of-2 like every
-    other timed row.  Reference wall on an idle host: ~1.8 s at 8
-    cores (canary_ref in BENCH/BASELINE.md r4)."""
+    in the same session (same parallelism) as the suite.  Cross-round
+    bench numbers on this host are dominated by multi-minute external
+    interference windows; dividing engine walls by the canary wall
+    makes host drift one division.  Best-of-2 like every timed row.
+
+    Round-5 calibration fix (VERDICT r4 #5): the original ~1.5 s light
+    canary OVER-responds to interference relative to the multi-second
+    suite jobs (judge's r4 data: canary moved 1.47x between two runs
+    of the same tree while the suite moved only 1.13x — short jobs
+    land entirely inside or outside an interference wave).  So two
+    canaries are emitted: `canary_s` (light, unchanged job, kept for
+    cross-round continuity) and `canary_suite_s` (heavy=True: 4x the
+    rows + a second shuffle stage, ~suite-job duration and profile) —
+    `suite_per_canary` now normalizes by the HEAVY one."""
     import time as _t
 
     from pyspark.sql import functions as F
 
+    n = 48_000_000 if heavy else 12_000_000
     wall = None
     for _ in range(2):
         t0 = _t.monotonic()
-        df = spark.range(0, 12_000_000, 1, 32).select(
+        df = spark.range(0, n, 1, 32).select(
             (F.col("id") * 2654435761 % 1_000_003).alias("k"),
             (F.xxhash64("id") % 997).alias("v"),
         )
-        (
-            df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("s"), F.col("k"))
-            .limit(100)
-            .collect()
-        )
+        agg = df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        if heavy:
+            # second shuffle stage: re-key and re-aggregate — the
+            # suite's jobs are all >= two exchanges deep
+            agg = (agg.select((F.col("k") % 9973).alias("k2"), "s", "c")
+                   .groupBy("k2").agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+                   .withColumnRenamed("k2", "k"))
+        (agg.orderBy(F.desc("s"), F.col("k")).limit(100).collect())
         w = _t.monotonic() - t0
         wall = w if wall is None else min(wall, w)
     return round(wall, 3)
@@ -97,8 +107,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # host-calibration canary FIRST (also serves as JVM warm-up)
+    # host-calibration canaries FIRST (also serve as JVM warm-up):
+    # light (cross-round continuity) + heavy (suite-profile, used for
+    # normalization — VERDICT r4 #5)
     canary_s = run_canary(spark)
+    canary_suite_s = run_canary(spark, heavy=True)
 
     # --- flagship: CDC replay ---
     n_conv = max(int(1_200_000 * (sf if sf > 0 else 0.01)), 200)
@@ -172,10 +185,14 @@ def main() -> None:
         ann_scale["crossover_n"] = ANN_CROSSOVER_N
 
     # normalized walls: engine seconds per canary second — host-drift-
-    # free comparison unit across rounds (same canary job every round)
+    # free comparison unit across rounds (same canary jobs every round).
+    # Normalization uses the HEAVY suite-profile canary (r5 fix); the
+    # light canary is still emitted for r3/r4 comparability.
     extra["canary_s"] = canary_s
-    extra["suite_per_canary"] = round(total / canary_s, 3)
-    extra["cdc_replay_per_canary"] = round(timings["cdc_replay"] / canary_s, 3)
+    extra["canary_suite_s"] = canary_suite_s
+    extra["suite_per_canary"] = round(total / canary_suite_s, 3)
+    extra["cdc_replay_per_canary"] = round(timings["cdc_replay"] / canary_suite_s, 3)
+    extra["suite_per_canary_light"] = round(total / canary_s, 3)
 
     print(
         json.dumps(

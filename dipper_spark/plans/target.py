@@ -45,12 +45,14 @@ Scale notes (10^10 events / 100 TB):
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import time
 import uuid
 from collections import defaultdict
+from contextlib import contextmanager
 from dataclasses import dataclass
 from functools import reduce
 
@@ -73,8 +75,33 @@ _NON_DATA = set(KEY_COLUMNS) | {c.name for c in SYSTEM_FIELDS} | {
 _WIDENINGS = {("integer", "long"), ("float", "double"), ("integer", "double")}
 
 
+def _scan_race(e: BaseException) -> bool:
+    """True when a Spark job died because a data file it planned over
+    was GC'd by a concurrent commit (the one-commit grace window was
+    outrun by two+ commits during planning) — retryable: re-planning
+    against the current manifest reads current files."""
+    return "FileNotFoundException" in str(e)
+
+
 class SchemaEvolutionError(ValueError):
     pass
+
+
+class ChangefeedExpiredError(ValueError):
+    """The requested changefeed range includes batches that retention
+    already removed (Kafka's OffsetOutOfRange / Iceberg's expired-
+    snapshot incremental-read error).  The consumer must re-bootstrap
+    from a full snapshot instead of tailing the feed."""
+
+
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: another writer committed a
+    conflicting change between this writer's manifest read and its
+    commit attempt (Iceberg's ValidationException shape).  The commit
+    was NOT applied; nothing was lost.  Callers that can re-derive
+    their source from current table state (upsert/delete_where/compact)
+    retry automatically; streaming ingest is single-writer per
+    checkpoint by contract and propagates."""
 
 
 @dataclass
@@ -116,8 +143,9 @@ class LocalCowTable:
                changefeed: bool = False, time_travel: bool = False) -> "LocalCowTable":
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
-        if not os.path.exists(t._manifest_path()):
-            t._write_manifest(
+        with t._commit_lock():  # two concurrent create()s: one wins, one no-ops
+            if not os.path.exists(t._manifest_path()):
+                t._write_manifest(
                 {
                     "format_version": 2,  # v2: bucket fn = pmod(murmur3(key), N)
                     "version": 0,
@@ -126,6 +154,11 @@ class LocalCowTable:
                     "schemas": [],  # every schema ever written, in order
                     "buckets": {},  # bucket id (str) -> [[rel path, schema id]]
                     "ledger": [],  # [{batch_id, max_lsn, rows_applied, committed_at}]
+                    # per-scope monotonic NEXT batch id for API-allocated
+                    # writes — independent of ledger trimming, so ids
+                    # never restart (a restarted id would overwrite its
+                    # old _changes/ dir and be skipped by consumers)
+                    "scope_seq": {},
                     # changefeed: every merge also emits its applied
                     # row-level changes under _changes/ for downstream
                     # incremental consumers (see changefeed())
@@ -183,6 +216,72 @@ class LocalCowTable:
     def _load(self) -> dict:
         with open(self._manifest_path()) as f:
             return json.load(f)
+
+    # ---------------- concurrency control (round 5) ----------------
+    # Commit protocol: optimistic, Iceberg-style.  All Spark work (the
+    # merge join, the CoW file write) runs OUTSIDE any lock against the
+    # manifest version the writer read at start.  The commit itself —
+    # rename the new files into data/, validate that no concurrent
+    # commit invalidated what this writer read, swap the manifest — is
+    # a few-millisecond metadata critical section under an advisory
+    # flock (works across threads AND processes on a local/NFS-style
+    # FS; on an object store this is the catalog's atomic CAS).
+    #
+    # Validation & rebase rules (per commit kind):
+    #   * merge: the ledger must not already contain this (scope,
+    #     batch_id) [concurrent duplicate replay -> skip, it IS this
+    #     batch]; the file lists of the TOUCHED buckets must be
+    #     byte-identical to what the merge joined against, and the
+    #     logical schema unchanged -> rebase onto the current manifest
+    #     (carry forward the other writer's buckets + ledger rows) and
+    #     commit.  Anything else raises CommitConflict.
+    #   * API writes (upsert/delete_where, batch id auto-allocated):
+    #     additionally re-allocate the batch id at commit time from the
+    #     per-scope monotonic sequence, so two concurrent API writers
+    #     never collide on a changefeed (scope, batch) directory.
+    #   * compact / expire: touch every bucket -> strict version CAS.
+    #
+    # Reader note: non-time-travel tables GC superseded files right
+    # after commit, so a reader holding a pre-commit manifest can lose
+    # files mid-read (same window as before this round).  Readers that
+    # need snapshot isolation under concurrent writers use
+    # time_travel=True (deferred GC + expire_snapshots), exactly like
+    # Iceberg.
+    LOCKFILE = "_commit.lock"
+
+    @contextmanager
+    def _commit_lock(self):
+        fd = os.open(os.path.join(self.root, self.LOCKFILE),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _finish_commit(self, cur: dict, replaced: list[str]) -> None:
+        """Swap the manifest and run ONE-COMMIT-DEFERRED GC (must be
+        called under the commit lock).  Files superseded by THIS commit
+        go to manifest `pending_gc`; files superseded by the PREVIOUS
+        commit are deleted now.  The one-commit grace keeps concurrent
+        planners alive: a merge/reader that loaded manifest v still
+        finds v's files on disk while a single concurrent commit lands
+        — its own commit-time validation (or retry) handles the
+        staleness.  Only a SECOND concurrent commit can pull files out
+        from under an in-flight plan, which surfaces as a
+        FileNotFound-translated CommitConflict and a retry.
+        Time-travel tables defer all GC to expire_snapshots()."""
+        gc_now: list[str] = []
+        if not cur.get("time_travel"):
+            gc_now = list(cur.get("pending_gc", []))
+            cur["pending_gc"] = replaced
+        self._write_manifest(cur)  # <-- the atomic commit point
+        for rel in gc_now:
+            try:
+                os.remove(os.path.join(self.root, rel))
+            except OSError:
+                pass
 
     def _write_manifest(self, man: dict) -> None:
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -341,48 +440,63 @@ class LocalCowTable:
         with open(p) as f:
             return json.load(f)
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1,
+                         changefeed_keep_batches: int | None = None) -> dict:
         """Reclaim time-travel space: keep the newest `keep_last`
         retained versions (the CURRENT version is always kept), drop
         older version manifests, and delete data files referenced by
         NO retained manifest.  Mirrors Iceberg expire_snapshots.
+        `changefeed_keep_batches` additionally applies changefeed
+        retention (expire_changefeed) in the same maintenance pass.
 
         Metadata-only (reference counting over manifests) — no data
         read; at 100 TB this is a driver-side set difference over file
-        lists, then object deletes."""
-        man = self._load()
-        vd = self._versions_dir()
-        all_vs = self.versions()
-        keep = set(all_vs[-max(1, keep_last):]) | {man["version"]}
-        live: set = set()
-        for v in keep:
-            try:
-                m = self._load_as_of(v)
-            except FileNotFoundError:  # current version of a non-TT table
-                m = man
-            for rel, _sid in self._entries(m):
-                live.add(rel)
-        dropped_files = 0
-        if os.path.isdir(os.path.join(self.root, "data")):
-            for fn in os.listdir(os.path.join(self.root, "data")):
-                rel = os.path.join("data", fn)
-                if fn.endswith(".parquet") and rel not in live:
-                    try:
-                        os.remove(os.path.join(self.root, rel))
-                        dropped_files += 1
-                    except OSError:
-                        pass
-        dropped_versions = 0
-        if os.path.isdir(vd):
-            for v in all_vs:
-                if v not in keep:
-                    try:
-                        os.remove(os.path.join(vd, f"v{v:06d}.json"))
-                        dropped_versions += 1
-                    except OSError:
-                        pass
-        return {"kept_versions": sorted(keep), "dropped_versions": dropped_versions,
-                "dropped_files": dropped_files}
+        lists, then object deletes.
+
+        Runs under the commit lock: data files enter data/ only inside
+        a locked commit, so under the lock every file is either
+        referenced by a retained manifest or provably garbage (a
+        superseded version's file, or a crashed commit's orphan) —
+        expire can never race a concurrent writer into deleting a
+        file that is about to be committed."""
+        with self._commit_lock():
+            man = self._load()
+            vd = self._versions_dir()
+            all_vs = self.versions()
+            keep = set(all_vs[-max(1, keep_last):]) | {man["version"]}
+            live: set = set()
+            for v in keep:
+                try:
+                    m = self._load_as_of(v)
+                except FileNotFoundError:  # current version of a non-TT table
+                    m = man
+                for rel, _sid in self._entries(m):
+                    live.add(rel)
+            dropped_files = 0
+            if os.path.isdir(os.path.join(self.root, "data")):
+                for fn in os.listdir(os.path.join(self.root, "data")):
+                    rel = os.path.join("data", fn)
+                    if fn.endswith(".parquet") and rel not in live:
+                        try:
+                            os.remove(os.path.join(self.root, rel))
+                            dropped_files += 1
+                        except OSError:
+                            pass
+            dropped_versions = 0
+            if os.path.isdir(vd):
+                for v in all_vs:
+                    if v not in keep:
+                        try:
+                            os.remove(os.path.join(vd, f"v{v:06d}.json"))
+                            dropped_versions += 1
+                        except OSError:
+                            pass
+        out = {"kept_versions": sorted(keep), "dropped_versions": dropped_versions,
+               "dropped_files": dropped_files}
+        if changefeed_keep_batches is not None:
+            out["changefeed"] = self.expire_changefeed(
+                keep_last_batches=changefeed_keep_batches)
+        return out
 
     def lookup(self, conv_id: str, turn_idx: int | None = None) -> DataFrame:
         """Point read with bucket pruning.  With turn_idx given, hashes
@@ -420,13 +534,26 @@ class LocalCowTable:
         return df.select(*cols).orderBy(*KEY_COLUMNS)
 
     # ---------------- merge (op C10 + ledger C11) ----------------
-    def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default",
+    def merge(self, collapsed: DataFrame, batch_id: int | None, scope: str = "default",
               single_pass: bool = True) -> MergeStats:
         """Apply one collapsed batch (<= 1 row per key, from op C7/C8)
         idempotently.  A replayed (scope, batch_id) is skipped via the
         ledger — `scope` identifies the run/checkpoint, because batch
         ids restart at 0 under a fresh checkpoint; even torn/partial
         replays are no-ops thanks to the (ts, lsn) guard.
+
+        batch_id=None (the API-write path: upsert/delete_where)
+        allocates the next id from the manifest's per-scope monotonic
+        sequence — and RE-allocates it at commit time under the commit
+        lock if a concurrent writer took it first, so ids are unique
+        per scope forever (never reused even after ledger trimming).
+
+        Concurrency: the join and CoW write run optimistically against
+        the manifest read here; the commit validates under the commit
+        lock that no concurrent commit changed the touched buckets (or
+        the schema) and rebases onto the latest manifest — otherwise
+        raises CommitConflict with nothing applied (see the
+        "concurrency control" section above).
 
         single_pass: on a FRESH table (no data files), run the whole
         pipeline as one job and discover touched buckets from the
@@ -437,7 +564,11 @@ class LocalCowTable:
         that the extra materialization is noise."""
         t0 = time.monotonic()
         man = self._load()
-        if any(e["batch_id"] == batch_id and e.get("scope", "default") == scope for e in man["ledger"]):
+        api_alloc = batch_id is None
+        if api_alloc:
+            batch_id = self._next_batch_id(man, scope)
+        elif any(e["batch_id"] == batch_id and e.get("scope", "default") == scope
+                 for e in man["ledger"]):
             return MergeStats(batch_id=batch_id, skipped=True)
 
         # Plan the whole merge pipeline with shuffle partitions == the
@@ -451,12 +582,14 @@ class LocalCowTable:
         old_sp = self.spark.conf.get(sp_key)
         self.spark.conf.set(sp_key, str(man["n_buckets"]))
         try:
-            return self._merge_inner(collapsed, batch_id, scope, man, t0, single_pass)
+            return self._merge_inner(collapsed, batch_id, scope, man, t0, single_pass,
+                                     api_alloc)
         finally:
             self.spark.conf.set(sp_key, old_sp)
 
     def _merge_inner(self, collapsed: DataFrame, batch_id: int, scope: str,
-                     man: dict, t0: float, single_pass: bool) -> MergeStats:
+                     man: dict, t0: float, single_pass: bool,
+                     api_alloc: bool = False) -> MergeStats:
 
         schema = self._evolve_schema(man, collapsed)
         data_cols = [f.name for f in schema.fields
@@ -464,15 +597,10 @@ class LocalCowTable:
         nb = man["n_buckets"]
         fmt = self._fmt(man)
         bucket_expr = self._bucket_expr(nb, fmt)
-        # stamp the (possibly evolved) write schema into the manifest's
-        # schema registry; every file written this merge records its id
-        schemas = man.setdefault("schemas", [])
-        sj = schema.jsonValue()
-        try:
-            sid = schemas.index(sj)
-        except ValueError:
-            schemas.append(sj)
-            sid = len(schemas) - 1
+        # NB: the write schema's manifest registry id (sid) is resolved
+        # at COMMIT time against the CURRENT manifest — resolving it
+        # here against the base manifest would record a wrong index if
+        # a concurrent commit appended a schema first.
 
         # --- source side: conform to target schema, tombstone deletes ---
         # NB: capture the ordering tuple (_op_ts from the event ts) BEFORE
@@ -591,11 +719,13 @@ class LocalCowTable:
         # --- changefeed OUT (CDC both directions): emit this batch's
         # APPLIED row-level changes for downstream incremental
         # consumers (e.g. a training-data pipeline tailing the table).
-        # Deterministic dir per (scope, batch) + overwrite => a crash
-        # retry rewrites the same changes and a ledger-skipped replay
-        # never rewrites them at all — the feed is exactly-once like
-        # the table.  Written BEFORE the manifest swap: an orphan from
-        # a torn merge is overwritten by the retry that commits.
+        # Written to a UNIQUE stage dir before the commit, renamed to
+        # the final _changes/scope=/batch= dir inside the locked commit
+        # (round 5): concurrent writers can never clobber each other's
+        # feed, a crash leaves only an invisible .stage_* orphan (dot
+        # dirs are skipped by Spark and the IVM dir listing; swept by
+        # expire_changefeed), and a ledger-skipped replay never writes
+        # at all — the feed commits atomically with the table.
         # Costs one extra action over the (persisted) net-change plan.
         # Fresh-table single-pass backfills take a cheaper route: with
         # no target, every applied row is exactly what the CoW write
@@ -606,6 +736,8 @@ class LocalCowTable:
         # 1.76x -> see tools/changefeed_bench.py).
         # scope=/batch= Hive-style dirs give readers partition pruning
         # for "changes since batch N".
+        feed_stage = (os.path.join(self.root, "_changes", f".stage_{uuid.uuid4().hex[:8]}")
+                      if man.get("changefeed") else None)
         if man.get("changefeed") and not fresh:
             ch_op = (F.when(F.col("_del"), F.lit("D"))
                       .when(F.col("_upd"), F.lit("U"))
@@ -616,12 +748,9 @@ class LocalCowTable:
                      F.col("_op_ts").alias("change_ts"),
                      F.col("_lsn").alias("change_lsn"))
              .write.mode("overwrite")
-             .parquet(os.path.join(self.root, "_changes",
-                                   f"scope={self._scope_tag(scope)}",
-                                   f"batch={batch_id}")))
+             .parquet(feed_stage))
 
         # --- copy-on-write: rewrite touched buckets into fresh files ---
-        ver = man["version"] + 1
         tmp = os.path.join(self.root, f"_tmp_b{batch_id}_{uuid.uuid4().hex[:8]}")
         try:
             # The join output is hash-partitioned on the merge keys; if
@@ -648,26 +777,17 @@ class LocalCowTable:
                 int(d.split("=", 1)[1]) for d in os.listdir(tmp) if d.startswith("_bucket=")
             )
         m = obs.get
-        new_buckets = dict(man["buckets"])
-        replaced: list[str] = []
-        for b in touched:
-            bdir = os.path.join(tmp, f"_bucket={b}")
-            rels = []
-            if os.path.isdir(bdir):
-                for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
-                    rel = os.path.join("data", f"b{b:05d}_v{ver}_{i}.parquet")
-                    os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
-                    rels.append([rel, sid])
-            replaced += [e if isinstance(e, str) else e[0] for e in man["buckets"].get(str(b), [])]
-            new_buckets[str(b)] = rels
-        shutil.rmtree(tmp, ignore_errors=True)
 
-        # fresh-table changefeed: read back the files just renamed into
-        # place (still pre-manifest-swap, so the exactly-once story is
-        # unchanged) — every row is this batch's applied change.
+        # fresh-table changefeed: read back the files the CoW write
+        # just produced (from the tmp dir, pre-commit, so the
+        # exactly-once story is unchanged) — every row is this batch's
+        # applied change.
         if man.get("changefeed") and fresh:
-            paths = [os.path.join(self.root, e[0])
-                     for b in touched for e in new_buckets[str(b)]]
+            paths = [os.path.join(tmp, f"_bucket={b}", fn)
+                     for b in touched
+                     if os.path.isdir(os.path.join(tmp, f"_bucket={b}"))
+                     for fn in sorted(os.listdir(os.path.join(tmp, f"_bucket={b}")))
+                     if fn.endswith(".parquet")]
             phys = schema  # the write schema already carries the system fields
             before_t = T.StructType(
                 [T.StructField(c, schema[c].dataType, True) for c in data_cols])
@@ -681,31 +801,29 @@ class LocalCowTable:
                          F.col("_op_ts").alias("change_ts"),
                          F.col("_lsn").alias("change_lsn"))
                  .write.mode("overwrite")
-                 .parquet(os.path.join(self.root, "_changes",
-                                       f"scope={self._scope_tag(scope)}",
-                                       f"batch={batch_id}")))
+                 .parquet(feed_stage))
+            else:
+                feed_stage = None  # empty batch: nothing staged, nothing to publish
 
-        man["version"] = ver
-        man["schema"] = schema.jsonValue()
-        man["buckets"] = new_buckets
-        man["ledger"].append(
-            {
-                "batch_id": batch_id,
-                "scope": scope,
-                "max_lsn": m["max_lsn"],
-                "rows_applied": int(m["applied"] or 0),
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-        )
-        if len(man["ledger"]) > self.LEDGER_CAP:
-            man["ledger"] = man["ledger"][-self.LEDGER_CAP:]
-        self._write_manifest(man)  # <-- the atomic commit
-        if not man.get("time_travel"):
-            for rel in replaced:  # GC superseded files (post-commit, crash-safe)
-                try:
-                    os.remove(os.path.join(self.root, rel))
-                except OSError:
-                    pass
+        ledger_entry = {
+            "batch_id": batch_id,
+            "scope": scope,
+            "max_lsn": m["max_lsn"],
+            "rows_applied": int(m["applied"] or 0),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        try:
+            batch_id = self._commit_merge(
+                man, scope, batch_id, touched, tmp, schema, ledger_entry,
+                api_alloc, feed_stage)
+        except BaseException:
+            if feed_stage:  # unpublished stage: remove, nothing committed
+                shutil.rmtree(feed_stage, ignore_errors=True)
+            raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if batch_id is None:  # concurrent writer committed this same (scope, batch)
+            return MergeStats(batch_id=ledger_entry["batch_id"], skipped=True)
 
         return MergeStats(
             batch_id=batch_id,
@@ -722,11 +840,108 @@ class LocalCowTable:
             wall_ms=int((time.monotonic() - t0) * 1000),
         )
 
+    def _commit_merge(self, base_man: dict, scope: str, batch_id: int,
+                      touched: list[int], tmp: str, schema: T.StructType,
+                      ledger_entry: dict, api_alloc: bool,
+                      feed_stage: str | None) -> int | None:
+        """The locked commit: validate against the CURRENT manifest,
+        rebase, rename the written files into data/, publish the
+        changefeed stage, swap the manifest.  Pure metadata + renames —
+        milliseconds, no Spark work.  Returns the final batch id, or
+        None when a concurrent duplicate replay already committed this
+        batch.  Raises CommitConflict when a concurrent commit
+        invalidated this writer's read (touched-bucket file lists or
+        the logical schema changed) — nothing is applied in that
+        case."""
+        sj = schema.jsonValue()
+        feed_base = os.path.join(self.root, "_changes", f"scope={self._scope_tag(scope)}")
+        with self._commit_lock():
+            cur = self._load()
+            dup = any(e["batch_id"] == batch_id and e.get("scope", "default") == scope
+                      for e in cur["ledger"])
+            if api_alloc:
+                seq = self._next_batch_id(cur, scope)
+                if dup or batch_id < seq:
+                    # a concurrent API writer took this id — re-allocate
+                    # from the monotonic per-scope sequence (the ledger-
+                    # append rebase: ids never collide, never reuse)
+                    batch_id = max(seq, batch_id + 1)
+                    ledger_entry = {**ledger_entry, "batch_id": batch_id}
+            elif dup:
+                return None
+            if cur["version"] != base_man["version"]:
+                # optimistic validation (Iceberg's model): a concurrent
+                # commit is fine iff it left everything THIS merge read
+                # untouched — then rebasing onto it is byte-identical
+                # to having run after it.
+                if cur["schema"] != base_man["schema"]:
+                    raise CommitConflict(
+                        f"concurrent schema change on {self.root} between read "
+                        f"(v{base_man['version']}) and commit (v{cur['version']})")
+                stale = [b for b in touched
+                         if cur["buckets"].get(str(b), []) != base_man["buckets"].get(str(b), [])]
+                if stale:
+                    raise CommitConflict(
+                        f"buckets {stale} changed concurrently on {self.root} "
+                        f"(read v{base_man['version']}, now v{cur['version']}) — "
+                        "the merge joined against stale files; retry re-reads")
+            ver = cur["version"] + 1
+            schemas = cur.setdefault("schemas", [])
+            try:
+                sid = schemas.index(sj)
+            except ValueError:
+                schemas.append(sj)
+                sid = len(schemas) - 1
+            new_buckets = dict(cur["buckets"])
+            replaced: list[str] = []
+            for b in touched:
+                bdir = os.path.join(tmp, f"_bucket={b}")
+                rels = []
+                if os.path.isdir(bdir):
+                    for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
+                        # uuid suffix: concurrent writers at the same base
+                        # version must never collide on a data file name
+                        rel = os.path.join(
+                            "data", f"b{b:05d}_v{ver}_{i}_{uuid.uuid4().hex[:8]}.parquet")
+                        os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
+                        rels.append([rel, sid])
+                replaced += [e if isinstance(e, str) else e[0]
+                             for e in cur["buckets"].get(str(b), [])]
+                new_buckets[str(b)] = rels
+            if feed_stage is not None and os.path.isdir(feed_stage):
+                final_dir = os.path.join(feed_base, f"batch={batch_id}")
+                if os.path.isdir(final_dir):  # torn-merge orphan from a crash retry
+                    shutil.rmtree(final_dir)
+                os.makedirs(feed_base, exist_ok=True)
+                os.replace(feed_stage, final_dir)
+            cur["version"] = ver
+            cur["schema"] = sj
+            cur["buckets"] = new_buckets
+            cur["ledger"].append(ledger_entry)
+            if len(cur["ledger"]) > self.LEDGER_CAP:
+                cur["ledger"] = cur["ledger"][-self.LEDGER_CAP:]
+            seqs = cur.setdefault("scope_seq", {})
+            seqs[scope] = max(int(seqs.get(scope, 0)), batch_id + 1)
+            self._finish_commit(cur, replaced)
+        return batch_id
+
     # ---------------- public MERGE surface (arbitrary DataFrames) ----------
     def _next_batch_id(self, man: dict, scope: str) -> int:
+        """Next API batch id for a scope: the manifest's monotonic
+        per-scope sequence, floored by whatever the (possibly trimmed)
+        ledger still shows.  The sequence survives LEDGER_CAP trimming,
+        so ids never restart — a restarted id would silently overwrite
+        its old _changes/ dir and be skipped by feed consumers whose
+        watermark already passed it."""
         ids = [e["batch_id"] for e in man["ledger"]
                if e.get("scope", "default") == scope]
-        return (max(ids) + 1) if ids else 0
+        seq = int(man.get("scope_seq", {}).get(scope, 0))
+        return max(seq, (max(ids) + 1) if ids else 0)
+
+    # Bounded optimistic retries for the self-rederiving API writers:
+    # each attempt re-reads the manifest and re-plans against current
+    # state, so a retry after CommitConflict is always correct.
+    COMMIT_RETRIES = 4
 
     def upsert(self, df: DataFrame, scope: str = "api",
                batch_id: int | None = None) -> MergeStats:
@@ -739,11 +954,24 @@ class LocalCowTable:
         columns schema-evolve).  Conflict resolution is the same LWW
         (ts, lsn) order as the CDC path: a source row applies iff its
         (ts, lsn) beats the target's, so stale upserts are rejected
-        rather than clobbering newer data.  `lsn` defaults to a
-        deterministic hash of (key, ts) when absent; an optional
-        boolean `is_delete` column marks tombstone rows.  Multiple
-        source rows per key are collapsed to the LWW winner first
-        (same kernel as the changelog path)."""
+        rather than clobbering newer data.  An optional boolean
+        `is_delete` column marks tombstone rows.  Multiple source rows
+        per key are collapsed to the LWW winner first (same kernel as
+        the changelog path).
+
+        `lsn` defaults to a deterministic hash of (key, ts, ALL payload
+        columns), which pins the tie rule for same-key-same-ts writes:
+        among equal-ts upserts the winner is the row with the GREATER
+        content hash — deterministic and arrival-order-independent
+        (replay-stable), while a byte-identical re-upsert hashes equal
+        and is rejected by the strict (ts, lsn) guard, i.e. it is a
+        no-op.  Callers that need true last-arrival-wins at equal ts
+        must supply their own monotonic `lsn`.
+
+        Concurrency: batch ids are allocated from the manifest's
+        per-scope monotonic sequence under the commit lock; on
+        CommitConflict (overlapping concurrent write) the merge is
+        re-planned against fresh state up to COMMIT_RETRIES times."""
         from ..operators.cdc import lww_collapse
 
         if "ts" not in df.columns:
@@ -752,8 +980,11 @@ class LocalCowTable:
         # timestamp_ntz; the engine's event time is session-tz timestamp
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         if "lsn" not in df.columns:
+            payload = sorted(c for c in df.columns if c not in (*KEY_COLUMNS, "ts"))
             df = df.withColumn(
-                "lsn", F.xxhash64(*KEY_COLUMNS, F.col("ts").cast("string")))
+                "lsn", F.xxhash64(
+                    *KEY_COLUMNS, F.col("ts").cast("string"),
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in payload]))
         if "is_delete" in df.columns:
             df = df.withColumn(
                 "op", F.when(F.coalesce(F.col("is_delete"), F.lit(False)),
@@ -764,10 +995,16 @@ class LocalCowTable:
                                        if c not in KEY_COLUMNS
                                        and c not in ("op", "ts", "lsn")]
         collapsed = lww_collapse(df, carry=carry)
-        man = self._load()
-        if batch_id is None:
-            batch_id = self._next_batch_id(man, scope)
-        return self.merge(collapsed, batch_id=batch_id, scope=scope)
+        last = self.COMMIT_RETRIES - 1
+        for attempt in range(self.COMMIT_RETRIES):
+            try:
+                return self.merge(collapsed, batch_id=batch_id, scope=scope)
+            except CommitConflict:
+                if batch_id is not None or attempt == last:
+                    raise
+            except Exception as e:
+                if attempt == last or not _scan_race(e):
+                    raise
 
     def delete_where(self, predicate: str, scope: str = "api") -> MergeStats:
         """Predicate delete: tombstone every LIVE row matching the SQL
@@ -776,29 +1013,41 @@ class LocalCowTable:
         same ts as the victim row, lsn + 1 — so the delete lands
         exactly once and an identical re-run is a no-op (no live rows
         match anymore).  Staler events still cannot resurrect the key:
-        the tombstone's (ts, lsn) guards it like any CDC delete."""
-        live = self.read().filter(
-            ~F.coalesce(F.col("_deleted"), F.lit(False))).filter(predicate)
-        src = live.select(
-            *KEY_COLUMNS,
-            F.col("_op_ts").alias("ts"),
-            (F.col("_lsn") + 1).alias("lsn"),
-            F.lit("D").alias("op"),
-            F.lit(1).cast("long").alias("n_events"),
-            F.lit(1).cast("long").alias("n_unique"),
-            F.lit(True).alias("is_delete"),
-        )
-        man = self._load()
-        return self.merge(src, batch_id=self._next_batch_id(man, scope), scope=scope)
+        the tombstone's (ts, lsn) guards it like any CDC delete.
+        On CommitConflict the victim set is re-derived from current
+        table state and retried (bounded)."""
+        for attempt in range(self.COMMIT_RETRIES):
+            live = self.read().filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))).filter(predicate)
+            src = live.select(
+                *KEY_COLUMNS,
+                F.col("_op_ts").alias("ts"),
+                (F.col("_lsn") + 1).alias("lsn"),
+                F.lit("D").alias("op"),
+                F.lit(1).cast("long").alias("n_events"),
+                F.lit(1).cast("long").alias("n_unique"),
+                F.lit(True).alias("is_delete"),
+            )
+            try:
+                return self.merge(src, batch_id=None, scope=scope)
+            except CommitConflict:
+                if attempt == self.COMMIT_RETRIES - 1:
+                    raise
+            except Exception as e:
+                if attempt == self.COMMIT_RETRIES - 1 or not _scan_race(e):
+                    raise
 
     @staticmethod
     def _scope_tag(scope: str) -> str:
-        """Filesystem-safe 8-hex tag for a scope (checkpoint paths are
-        not safe dir names; collisions at 8 hex over a handful of
-        scopes per table are negligible)."""
+        """Filesystem-safe tag for a scope (checkpoint paths are not
+        safe dir names; collisions at 7 hex over a handful of scopes
+        per table are negligible).  The leading 's' keeps the Hive
+        partition value non-numeric so batch-feed partition inference
+        types `scope` as STRING — identical to changefeed_stream()'s
+        declared schema (an all-digit tag would infer as int)."""
         import hashlib as _hl
 
-        return _hl.sha256(scope.encode()).hexdigest()[:8]
+        return "s" + _hl.sha256(scope.encode()).hexdigest()[:7]
 
     def changefeed(self, since_batch: int | None = None,
                    scope: str | None = None) -> DataFrame:
@@ -815,12 +1064,32 @@ class LocalCowTable:
         level, so tailing consumers read only new commits.
 
         Replaying the feed in (batch, change_lsn) order reproduces the
-        table snapshot exactly (pinned by tests/test_changefeed.py)."""
+        table snapshot exactly (pinned by tests/test_changefeed.py).
+
+        Retention contract: expire_changefeed() may remove old batch
+        dirs.  A read whose range would include an expired batch —
+        `since_batch` older than the scope's retention floor minus one,
+        or a full read (since_batch=None) after ANY expiry — raises
+        ChangefeedExpiredError instead of silently returning a feed
+        that no longer replays to the snapshot.  Consumers that fall
+        behind retention must re-bootstrap from snapshot()."""
         base = os.path.join(self.root, "_changes")
         if not os.path.isdir(base):
             raise FileNotFoundError(
                 f"{base} does not exist — was the table created with "
                 f"changefeed=True and has a merge been applied?")
+        floors: dict = self._load().get("changefeed_floor", {})
+        tags = ([self._scope_tag(scope)] if scope is not None else sorted(
+            {d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("scope=")}
+            | set(floors)))
+        want_from = -1 if since_batch is None else since_batch  # reads batch > this
+        for tag in tags:
+            floor = int(floors.get(tag, 0))  # first retained batch id
+            if want_from < floor - 1:
+                raise ChangefeedExpiredError(
+                    f"changefeed(scope tag {tag}) from batch {want_from + 1} "
+                    f"is expired — retention floor is batch {floor}; "
+                    "re-bootstrap the consumer from snapshot()")
         # mergeSchema: batches written before an ADD-column evolution
         # lack the new column — without the union the inferred schema
         # could come from an OLD batch and silently drop it
@@ -831,7 +1100,73 @@ class LocalCowTable:
             df = df.filter(F.col("batch") > since_batch)
         return df
 
-    def changefeed_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
+    def expire_changefeed(self, keep_last_batches: int | None = None,
+                          through_batch: int | None = None,
+                          scope: str | None = None) -> dict:
+        """Changefeed retention (round 5, VERDICT r4 #2): without it a
+        long-lived table accumulates an unbounded second copy of all
+        history under _changes/.  Removes expired batch dirs and
+        records the per-scope retention FLOOR (first retained batch id)
+        in the manifest; changefeed()/IncrementalView then fail
+        CRISPLY when asked for an expired range instead of silently
+        under-replaying.
+
+        Exactly one policy per call:
+          * keep_last_batches=N — per scope, keep the newest N batch
+            dirs (applies to every scope, or just `scope`);
+          * through_batch=K (+ scope) — expire batch ids <= K of that
+            scope (Kafka delete-records shape).
+
+        Metadata-only: a directory list + rmtree per expired batch, no
+        data read.  Runs under the commit lock so a concurrent merge's
+        just-published batch is never considered.  Also sweeps
+        crash-orphaned .stage_* dirs older than an hour."""
+        if (keep_last_batches is None) == (through_batch is None):
+            raise ValueError("pass exactly one of keep_last_batches / through_batch")
+        if through_batch is not None and scope is None:
+            raise ValueError("through_batch retention needs an explicit scope")
+        base = os.path.join(self.root, "_changes")
+        dropped: dict[str, list[int]] = {}
+        with self._commit_lock():
+            man = self._load()
+            if not man.get("changefeed"):
+                raise ValueError("table was not created with changefeed=True")
+            floors = man.setdefault("changefeed_floor", {})
+            if os.path.isdir(base):
+                for d in sorted(os.listdir(base)):
+                    if not d.startswith("scope="):
+                        continue
+                    tag = d.split("=", 1)[1]
+                    if scope is not None and tag != self._scope_tag(scope):
+                        continue
+                    sdir = os.path.join(base, d)
+                    batches = sorted(
+                        int(b.split("=", 1)[1])
+                        for b in os.listdir(sdir) if b.startswith("batch="))
+                    if keep_last_batches is not None:
+                        expire = batches[:-keep_last_batches] if keep_last_batches > 0 else batches
+                    else:
+                        expire = [b for b in batches if b <= through_batch]
+                    for b in expire:
+                        shutil.rmtree(os.path.join(sdir, f"batch={b}"), ignore_errors=True)
+                    if expire:
+                        floors[tag] = max(int(floors.get(tag, 0)), max(expire) + 1)
+                        dropped[tag] = expire
+                # crash-orphaned stage dirs: unpublished, invisible to
+                # readers; age-gated so an in-flight writer's stage
+                # (written outside the lock) is never swept
+                now = time.time()
+                for d in os.listdir(base):
+                    p = os.path.join(base, d)
+                    if d.startswith(".stage_") and now - os.path.getmtime(p) > 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+            if dropped:
+                self._write_manifest(man)
+        return {"dropped": dropped,
+                "floors": {t: int(v) for t, v in floors.items()}}
+
+    def changefeed_stream(self, max_files_per_trigger: int | None = None,
+                          fail_on_data_loss: bool = True) -> DataFrame:
         """Tail the changefeed as a Structured Stream — the downstream
         consumer shape (e.g. an incremental training-data pipeline
         keeping a derived dataset in sync): each merge's change files
@@ -842,10 +1177,30 @@ class LocalCowTable:
 
         Explicit schema (current table schema + change columns) — a
         streaming source cannot infer, and partition columns scope/
-        batch are declared so Hive-dir values surface as columns."""
+        batch are declared so Hive-dir values surface as columns.
+
+        Retention contract (Kafka's failOnDataLoss shape): a RUNNING
+        consumer is unaffected by expire_changefeed — its checkpoint's
+        file-source offset log remembers files already processed, and
+        expired files are simply absent from future listings.  But a
+        consumer STARTING on a partially-expired feed would silently
+        miss history, so with fail_on_data_loss=True (default) this
+        raises ChangefeedExpiredError whenever any scope's retention
+        floor is > 0.  Pass fail_on_data_loss=False to acknowledge the
+        gap explicitly — correct for consumers RESUMING a checkpoint
+        that already consumed the expired range, or consumers that
+        bootstrapped from snapshot()."""
         man = self._load()
         if not man.get("changefeed"):
             raise ValueError("table was not created with changefeed=True")
+        if fail_on_data_loss:
+            floors = man.get("changefeed_floor", {})
+            expired = {t: int(v) for t, v in floors.items() if int(v) > 0}
+            if expired:
+                raise ChangefeedExpiredError(
+                    f"changefeed batches below the retention floor(s) {expired} "
+                    "are expired; a fresh consumer would miss history — "
+                    "bootstrap from snapshot() or pass fail_on_data_loss=False")
         if man["schema"] is None:
             raise FileNotFoundError("changefeed empty: no batch applied yet")
         schema = T.StructType.fromJson(man["schema"])
@@ -879,51 +1234,68 @@ class LocalCowTable:
         Doubles as the v1 -> v2 format migration: it reads EVERY row
         (via the manifest's own v1 bucket fn), re-buckets with the v2
         murmur3 key hash, and commits format_version 2 atomically with
-        the rewritten layout."""
+        the rewritten layout.
+
+        Concurrency: compact reads (and replaces) EVERY bucket, so its
+        commit is a strict version CAS — any concurrent commit raises
+        CommitConflict and the whole compaction re-runs from fresh
+        state (bounded retries)."""
+        for attempt in range(self.COMMIT_RETRIES):
+            try:
+                return self._compact_once(drop_tombstones)
+            except CommitConflict:
+                if attempt == self.COMMIT_RETRIES - 1:
+                    raise
+
+    def _compact_once(self, drop_tombstones: bool) -> int:
         man = self._load()
         if man["schema"] is None:
             return 0
         schema = T.StructType.fromJson(man["schema"])
-        ver = man["version"] + 1
         nb = man["n_buckets"]
         df = self.read()
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         df = df.withColumn("_bucket", self._bucket_expr(nb))  # always v2: migrates v1
-        schemas = man.setdefault("schemas", [])
         sj = schema.jsonValue()
-        try:
-            sid = schemas.index(sj)
-        except ValueError:
-            schemas.append(sj)
-            sid = len(schemas) - 1
         tmp = os.path.join(self.root, f"_tmp_compact_{uuid.uuid4().hex[:8]}")
         # repartition on the KEY with nb partitions: partition i holds
         # exactly bucket i (same murmur3 pmod), one file per bucket
         df.repartition(nb, *KEY_COLUMNS).write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
-        old = [e if isinstance(e, str) else e[0] for fs in man["buckets"].values() for e in fs]
-        new_buckets: dict[str, list] = {}
-        for b in range(nb):
-            bdir = os.path.join(tmp, f"_bucket={b}")
-            rels = []
-            if os.path.isdir(bdir):
-                for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
-                    rel = os.path.join("data", f"b{b:05d}_v{ver}_{i}.parquet")
-                    os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
-                    rels.append([rel, sid])
-            if rels:
-                new_buckets[str(b)] = rels
-        shutil.rmtree(tmp, ignore_errors=True)
-        man["version"] = ver
-        man["buckets"] = new_buckets
-        man["format_version"] = 2  # v1 tables are fully re-bucketed above
-        self._write_manifest(man)
-        if not man.get("time_travel"):
-            for rel in old:
+        try:
+            with self._commit_lock():
+                cur = self._load()
+                if cur["version"] != man["version"]:
+                    raise CommitConflict(
+                        f"table {self.root} advanced v{man['version']} -> "
+                        f"v{cur['version']} during compact; re-running")
+                ver = cur["version"] + 1
+                schemas = cur.setdefault("schemas", [])
                 try:
-                    os.remove(os.path.join(self.root, rel))
-                except OSError:
-                    pass
+                    sid = schemas.index(sj)
+                except ValueError:
+                    schemas.append(sj)
+                    sid = len(schemas) - 1
+                old = [e if isinstance(e, str) else e[0]
+                       for fs in cur["buckets"].values() for e in fs]
+                new_buckets: dict[str, list] = {}
+                for b in range(nb):
+                    bdir = os.path.join(tmp, f"_bucket={b}")
+                    rels = []
+                    if os.path.isdir(bdir):
+                        for i, fn in enumerate(sorted(f for f in os.listdir(bdir) if f.endswith(".parquet"))):
+                            rel = os.path.join(
+                                "data", f"b{b:05d}_v{ver}_{i}_{uuid.uuid4().hex[:8]}.parquet")
+                            os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
+                            rels.append([rel, sid])
+                    if rels:
+                        new_buckets[str(b)] = rels
+                cur["version"] = ver
+                cur["buckets"] = new_buckets
+                cur["format_version"] = 2  # v1 tables are fully re-bucketed above
+                self._finish_commit(cur, old)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return len(new_buckets)
 
 
@@ -1065,6 +1437,16 @@ class IcebergTable:
             for r in rows
         )
 
+    # Iceberg MERGE commits are optimistic: concurrent writers make the
+    # commit fail with ValidationException / CommitFailedException.
+    # Mirrors LocalCowTable.COMMIT_RETRIES — re-running the MERGE
+    # re-plans against the new current snapshot, and the (ts, lsn)
+    # guard keeps a re-planned MERGE correct (LWW is idempotent and
+    # order-insensitive across retries).
+    COMMIT_RETRIES = 4
+    _RETRYABLE = ("CommitFailedException", "ValidationException",
+                  "CommitStateUnknownException")
+
     def merge(self, collapsed: DataFrame, batch_id: int, scope: str = "default") -> None:
         if self._seen(batch_id, scope):
             return
@@ -1075,13 +1457,18 @@ class IcebergTable:
         # marker and data commit atomically (a crash can never record
         # an unapplied batch, and a recorded batch is always applied).
         # Spark exposes this via Iceberg's CommitMetadata thread-local;
-        # from PySpark it needs the JVM bridge.  If the bridge is
-        # unavailable (e.g. py4j callback server off), run the MERGE
-        # unmarked: the skip optimization is lost but correctness
-        # stands — a replayed MERGE is a no-op under the (ts, lsn)
-        # guard (layer 3 of the exactly-once story).
+        # from PySpark it needs the JVM bridge.  ONLY bridge/class
+        # acquisition failures fall back to an unmarked MERGE (the
+        # skip optimization is lost but correctness stands — a replayed
+        # MERGE is a no-op under the (ts, lsn) guard); errors raised by
+        # the MERGE itself propagate (ADVICE r4: the old broad except
+        # re-ran a failing MERGE unmarked and masked the real error).
+        runner = None
         try:
             jvm = self.spark._jvm  # noqa: SLF001 — py4j gateway, documented Iceberg pattern
+            # resolve the class FIRST: a missing iceberg runtime fails
+            # here, not mid-MERGE
+            jvm.java.lang.Class.forName("org.apache.iceberg.spark.CommitMetadata")
             props = jvm.java.util.HashMap()
             props.put("dipper.scope", scope)
             props.put("dipper.batch_id", str(batch_id))
@@ -1096,11 +1483,35 @@ class IcebergTable:
                 class Java:
                     implements = ["java.util.concurrent.Callable"]
 
-            jvm.org.apache.iceberg.spark.CommitMetadata.withCommitProperties(
-                props, _Run(self.spark, stmt), jvm.java.lang.Void._java_lang_class
-            )
+            cm = jvm.org.apache.iceberg.spark.CommitMetadata
+            void = jvm.java.lang.Void._java_lang_class
+
+            def runner():
+                cm.withCommitProperties(props, _Run(self.spark, stmt), void)
         except Exception:
-            self.spark.sql(stmt)
+            runner = None  # no bridge / no iceberg jar: unmarked MERGE
+        self._run_with_commit_retries(
+            runner if runner is not None else (lambda: self.spark.sql(stmt)),
+            batch_id, scope)
+
+    def _run_with_commit_retries(self, run, batch_id: int, scope: str) -> None:
+        """Bounded optimistic-retry wrapper (round 5, VERDICT r4 #8):
+        concurrent Iceberg writers surface as retryable commit
+        exceptions; anything else propagates on first failure.  Before
+        each retry the (scope, batch_id) marker is re-checked — the
+        CommitStateUnknown case may have actually committed."""
+        last_err: Exception | None = None
+        for _attempt in range(self.COMMIT_RETRIES):
+            try:
+                run()
+                return
+            except Exception as e:
+                if not any(t in str(e) for t in self._RETRYABLE):
+                    raise
+                last_err = e
+                if self._seen(batch_id, scope):
+                    return  # unknown-state commit actually landed
+        raise last_err
 
     def snapshot(self) -> DataFrame:
         return (

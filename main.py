@@ -109,9 +109,12 @@ def main() -> None:
     v = sub.add_parser("versions", help="retained time-travel versions")
     v.add_argument("--table", required=True)
 
-    e = sub.add_parser("expire", help="expire time-travel snapshots")
+    e = sub.add_parser("expire", help="expire time-travel snapshots (+ optional "
+                                      "changefeed retention)")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=1)
+    e.add_argument("--changefeed-keep-batches", type=int, default=None,
+                   help="per scope, keep only the newest N changefeed batches")
 
     u = sub.add_parser("upsert", help="Delta-style MERGE of a parquet file")
     u.add_argument("--table", required=True)
@@ -129,6 +132,15 @@ def main() -> None:
     vr.add_argument("--agg", action="append", default=[],
                     help="name=row_expr (view value = SUM(row_expr) over live "
                          "rows); repeatable; default n_turns=1")
+    vr.add_argument("--avg", action="append", default=[],
+                    help="name=row_expr maintained as a (sum, count) pair, "
+                         "read back as the double ratio; repeatable")
+    vr.add_argument("--min", action="append", default=[], dest="min_",
+                    help="name=row_expr MIN extremum (rescan-on-retraction); "
+                         "repeatable")
+    vr.add_argument("--max", action="append", default=[], dest="max_",
+                    help="name=row_expr MAX extremum (rescan-on-retraction); "
+                         "repeatable")
     vr.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("zip")
@@ -214,7 +226,9 @@ def main() -> None:
     elif args.cmd == "expire":
         from dipper_spark.plans.target import LocalCowTable
 
-        out = LocalCowTable(spark, args.table).expire_snapshots(keep_last=args.keep_last)
+        out = LocalCowTable(spark, args.table).expire_snapshots(
+            keep_last=args.keep_last,
+            changefeed_keep_batches=args.changefeed_keep_batches)
         print(json.dumps(out))
     elif args.cmd == "upsert":
         from dipper_spark.plans.target import LocalCowTable
@@ -231,8 +245,15 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         aggs = dict(a.split("=", 1) for a in args.agg) or {"n_turns": "1"}
+        extrema = {}
+        for kind, specs in (("min", args.min_), ("max", args.max_)):
+            for a in specs:
+                name, expr = a.split("=", 1)
+                extrema[name] = (kind, expr)
         view = IncrementalView(spark, LocalCowTable(spark, args.table), args.view,
-                               args.group_by.split(","), aggs)
+                               args.group_by.split(","), aggs,
+                               avgs=dict(a.split("=", 1) for a in args.avg),
+                               extrema=extrema)
         out = view.refresh()
         print(json.dumps(out))
         view.read().orderBy(*args.group_by.split(",")).show(args.limit, truncate=False)

@@ -193,3 +193,65 @@ def test_create_sql_parses_and_mirrors_layout(spark):
                 "conv_id STRING NOT NULL", "turn_idx INT NOT NULL",
                 "meta_tokens INT"):
         assert col in sql, f"DDL missing {col}"
+
+
+# ---- round 5: optimistic-commit retry wrapper (VERDICT r4 #8) ----
+
+def test_commit_retry_retries_retryable_then_succeeds():
+    t = IcebergTable(_FakeSpark([]), "lake.db.transcripts")
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "org.apache.iceberg.exceptions.CommitFailedException: "
+                "Cannot commit: stale table metadata")
+
+    t._run_with_commit_retries(flaky, 9, "ck")
+    assert calls["n"] == 3
+
+
+def test_commit_retry_propagates_non_retryable_first_failure():
+    t = IcebergTable(_FakeSpark([]), "lake.db.transcripts")
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise RuntimeError("AnalysisException: cannot resolve 'nope'")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="cannot resolve"):
+        t._run_with_commit_retries(broken, 9, "ck")
+    assert calls["n"] == 1  # genuine errors never re-run the MERGE
+
+
+def test_commit_retry_exhausts_and_raises_last():
+    t = IcebergTable(_FakeSpark([]), "lake.db.transcripts")
+    calls = {"n": 0}
+
+    def always():
+        calls["n"] += 1
+        raise RuntimeError("ValidationException: found conflicting files")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="ValidationException"):
+        t._run_with_commit_retries(always, 9, "ck")
+    assert calls["n"] == IcebergTable.COMMIT_RETRIES
+
+
+def test_commit_retry_unknown_state_rechecks_marker():
+    """CommitStateUnknown may mean the commit actually LANDED: before
+    retrying, the wrapper re-checks the (scope, batch_id) marker and
+    returns without a duplicate MERGE when it finds it."""
+    summaries = []  # mutated by the failing attempt, like a real commit
+    t = IcebergTable(_FakeSpark(summaries), "lake.db.transcripts")
+    calls = {"n": 0}
+
+    def unknown():
+        calls["n"] += 1
+        summaries.append({"dipper.scope": "ck", "dipper.batch_id": "9"})
+        raise RuntimeError("CommitStateUnknownException: datacenter on fire")
+
+    t._run_with_commit_retries(unknown, 9, "ck")
+    assert calls["n"] == 1  # landed commit detected, no re-run
