@@ -110,13 +110,17 @@ PRIORITY = [
     "cdc_concurrent_writers",
     "cdc_feed_retention",
     "cdc_ivm_minmax",
-    # (b) touched-code re-confirmations
+    # (b) the two second-wave round-5 contracts (bucket rescale,
+    # changefeed replica — relational_ext6.py) + touched-code
+    # re-confirmations.  cdc_time_travel_asof and stream_changefeed_tail
+    # (both green r4, re-verified by the local gate) ceded their window
+    # slots so the sum stays 3 + 6 + 41 = 50.
+    "cdc_bucket_rescale",
+    "cdc_mirror_replica",
     "cdc_replay_snapshot",
     "cdc_upsert_api",
     "cdc_changefeed_roundtrip",
-    "cdc_time_travel_asof",
     "cdc_ivm_incremental",
-    "stream_changefeed_tail",
     # (c) the 41 queries unsampled in round 4
     "scan_json_props",
     "project_filter_case",
@@ -170,6 +174,7 @@ def _registered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational_ext3,
         relational_ext4,
         relational_ext5,
+        relational_ext6,
         relational_sim,
     )
 

@@ -1,0 +1,171 @@
+"""Round-5 second-wave driver contracts: online bucket rescaling and
+changefeed-driven replication (plans/mirror.py) — the two
+beyond-survey surfaces added after the VERDICT-r4 list landed, each as
+a deterministic boolean contract value-checked against a literal
+oracle (same pattern as relational_ext5.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from .relational import q
+
+ROWS = "conv_id string, turn_idx long, role string, text string, ts timestamp"
+
+
+def _mk_table(spark, work, seed, **kw):
+    from ..plans.replay import replay
+    from ..testkit.gen import ChangelogSpec, gen_changelog
+
+    gen_changelog(os.path.join(work, "log"),
+                  ChangelogSpec(seed=seed, n_conv=40, extra_rate=1.5, dup_rate=0.1))
+    table, stats = replay(spark, os.path.join(work, "log"),
+                          os.path.join(work, "tbl"), **kw)
+    return table, stats
+
+
+def _state_hash_hex(table) -> str:
+    from ..testkit.oracle import state_hash
+
+    return state_hash(table.snapshot().toPandas())
+
+
+@q("cdc_bucket_rescale", """
+SELECT CAST(1 AS BOOLEAN) AS rows_invariant_layout_swapped,
+       CAST(1 AS BOOLEAN) AS merge_finds_keys_post_rescale,
+       CAST(1 AS BOOLEAN) AS stale_layout_writer_conflicts
+""")
+def cdc_bucket_rescale(spark, d):
+    """Online bucket-rescale contract (round 5, beyond-survey —
+    plans/target.py LocalCowTable.rescale_buckets): (a) rescaling a
+    live table 8 -> 32 buckets preserves the exact row set while the
+    manifest layout swaps atomically; (b) a merge after the rescale
+    FINDS existing keys under the new layout (no silent duplicates)
+    and bucket-pruned lookups work; (c) a writer that planned against
+    the old layout is rejected loudly at commit time (the layout guard
+    in _commit_merge), and the self-rederiving API writer retries onto
+    the new layout."""
+    from ..plans.target import CommitConflict, LocalCowTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_rsq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=102, n_buckets=8)
+    before = _state_hash_hex(table)
+    nonempty = table.rescale_buckets(32)
+    man = table._load()
+    a_ok = (man["n_buckets"] == 32 and 0 < nonempty <= 32
+            and all(0 <= int(b) < 32 for b in man["buckets"])
+            and _state_hash_hex(table) == before)
+
+    key = table.snapshot().select("conv_id", "turn_idx").first()
+    ts = dt.datetime(2027, 5, 1)
+    table.upsert(spark.createDataFrame(
+        [(key["conv_id"], key["turn_idx"], "user", "post-rescale", ts),
+         ("rsq-new", 0, "user", "fresh", ts)], ROWS))
+    snap = table.snapshot()
+    hit = snap.filter((F.col("conv_id") == key["conv_id"])
+                      & (F.col("turn_idx") == key["turn_idx"]))
+    look = table.lookup("rsq-new", 0).first()
+    b_ok = (hit.count() == 1 and hit.first()["text"] == "post-rescale"
+            and look is not None and look["text"] == "fresh")
+
+    # stale-layout writer: inject a rescale between read and commit
+    other = LocalCowTable(spark, table.root)
+    orig = table._commit_merge
+    fired = {"done": False}
+
+    def wrapper(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            other.rescale_buckets(16)
+        return orig(*a, **kw)
+
+    table._commit_merge = wrapper
+    raised = False
+    try:
+        table.upsert(spark.createDataFrame(
+            [("rsq-race", 0, "user", "x", ts)], ROWS),
+            batch_id=991, scope="explicit")
+    except CommitConflict:
+        raised = True
+    c_ok = (raised and table._load()["n_buckets"] == 16
+            and table.snapshot().filter("conv_id = 'rsq-race'").count() == 0)
+
+    return spark.createDataFrame(
+        [(a_ok, b_ok, c_ok)],
+        "rows_invariant_layout_swapped boolean, "
+        "merge_finds_keys_post_rescale boolean, "
+        "stale_layout_writer_conflicts boolean")
+
+
+@q("cdc_mirror_replica", """
+SELECT CAST(1 AS BOOLEAN) AS full_sync_equals_upstream,
+       CAST(1 AS BOOLEAN) AS incremental_and_idempotent,
+       CAST(1 AS BOOLEAN) AS expired_feed_bootstrap_reconverges
+""")
+def cdc_mirror_replica(spark, d):
+    """Changefeed replication contract (round 5, beyond-survey —
+    plans/mirror.py): a downstream replica maintained purely from the
+    upstream's row-level changefeed (a) reproduces the upstream
+    snapshot exactly after a full sync — under a DIFFERENT bucket
+    layout — and re-sync is a watermark no-op; (b) follows
+    upsert/delete deltas incrementally and a crash-replay of the same
+    batches is ledger-skipped (no double-apply); (c) when retention
+    expires feed history the sync raises ChangefeedExpiredError and
+    bootstrap-from-snapshot reconverges, after which incremental sync
+    resumes."""
+    from ..plans.mirror import MirrorTable
+    from ..plans.target import ChangefeedExpiredError
+
+    work = tempfile.mkdtemp(prefix=f"dipper_mrq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=103, chunk_lsn=300, changefeed=True)
+    m = MirrorTable.create(spark, table.root, os.path.join(work, "down"),
+                           n_buckets=5)
+    out = m.sync()
+    a_ok = (not out["noop"] and m.down._load()["n_buckets"] == 5
+            and _state_hash_hex(m.down) == _state_hash_hex(table)
+            and m.sync()["noop"])
+
+    ts = dt.datetime(2027, 7, 1)
+    table.upsert(spark.createDataFrame(
+        [("mrq-k", 0, "user", "v1", ts), ("mrq-k", 1, "user", "bye", ts)], ROWS))
+    table.delete_where("conv_id = 'mrq-k' AND turn_idx = 1")
+    m.sync()
+    eq_after = _state_hash_hex(m.down) == _state_hash_hex(table)
+    # crash-replay: rewind the watermark and re-sync — the downstream
+    # ledger skips the replayed (scope, batch) merges
+    meta = m._meta()
+    rewound = {t: {"hwm": -1, "extra": []} for t in meta["consumed"]}
+    m._write_meta({**meta, "consumed": rewound})
+    try:
+        m.sync()
+        replay_ok = _state_hash_hex(m.down) == _state_hash_hex(table)
+    except ChangefeedExpiredError:
+        replay_ok = False
+    b_ok = eq_after and replay_ok
+
+    table.expire_changefeed(keep_last_batches=1)
+    m2 = MirrorTable.create(spark, table.root, os.path.join(work, "down2"))
+    raised = False
+    try:
+        m2.sync()
+    except ChangefeedExpiredError:
+        raised = True
+    m2.bootstrap()
+    m2.sync()
+    table.upsert(spark.createDataFrame(
+        [("mrq-post", 0, "user", "after-boot", dt.datetime(2027, 8, 1))], ROWS))
+    inc = m2.sync()
+    c_ok = (raised and not inc["noop"]
+            and _state_hash_hex(m2.down) == _state_hash_hex(table))
+
+    return spark.createDataFrame(
+        [(a_ok, b_ok, c_ok)],
+        "full_sync_equals_upstream boolean, "
+        "incremental_and_idempotent boolean, "
+        "expired_feed_bootstrap_reconverges boolean")

@@ -63,6 +63,63 @@ from .target import KEY_COLUMNS, ChangefeedExpiredError, LocalCowTable
 _N = "_n_live"  # auto-maintained live-row count per group
 
 
+# ---------------- shared feed-consumer bookkeeping ----------------
+# Used by every incremental changefeed consumer (IncrementalView here,
+# MirrorTable in plans/mirror.py): per-scope consumed-batch watermark
+# compacted to hwm + sparse extras, and the directory-level pending
+# probe with retention-hole detection.
+
+def consumed_parts(entry) -> tuple[int, set[int]]:
+    """(high-watermark, sparse extra ids) of a consumed entry; accepts
+    the legacy plain-list form on read."""
+    if isinstance(entry, dict):
+        return int(entry.get("hwm", -1)), set(entry.get("extra", []))
+    ids = set(entry or [])
+    return -1, ids
+
+
+def mark_consumed(entry, new_ids) -> dict:
+    hwm, extra = consumed_parts(entry)
+    extra |= set(new_ids)
+    while hwm + 1 in extra:
+        hwm += 1
+        extra.discard(hwm)
+    return {"hwm": hwm, "extra": sorted(extra)}
+
+
+def pending_feed_batches(table: LocalCowTable, consumed: dict,
+                         consumer: str = "consumer") -> list[tuple[str, list[int]]]:
+    """Unconsumed (scope_tag, [batch ids]) of a table's changefeed —
+    driver-side directory listing, the same metadata the feed's Hive
+    pruning uses.  Raises ChangefeedExpiredError when retention
+    removed batches this consumer never consumed (dense per-scope ids
+    make the hole detectable: floor > consumed hwm + 1)."""
+    base = os.path.join(table.root, "_changes")
+    if not os.path.isdir(base):
+        return []
+    floors = table._load().get("changefeed_floor", {})
+    out = []
+    for d in sorted(os.listdir(base)):
+        if not d.startswith("scope="):
+            continue
+        tag = d.split("=", 1)[1]
+        hwm, extra = consumed_parts(consumed.get(tag))
+        floor = int(floors.get(tag, 0))
+        if floor > hwm + 1:
+            raise ChangefeedExpiredError(
+                f"changefeed batches {hwm + 1}..{floor - 1} of scope tag "
+                f"{tag} expired before this {consumer} consumed them — it "
+                "can no longer be maintained incrementally; re-bootstrap "
+                "from a table snapshot (or rebuild from a fresh feed)")
+        batches = sorted(
+            int(b.split("=", 1)[1])
+            for b in os.listdir(os.path.join(base, d)) if b.startswith("batch="))
+        new = [b for b in batches if b > hwm and b not in extra]
+        if new:
+            out.append((tag, new))
+    return out
+
+
 class IncrementalView:
     """A grouped aggregate view maintained from the changefeed.
 
@@ -141,21 +198,9 @@ class IncrementalView:
     # Consumed-batch bookkeeping is compacted to a high-watermark +
     # sparse extras per scope (ADVICE r4: plain lists grow unboundedly
     # on long-lived views).  Legacy list form is accepted on read.
-    @staticmethod
-    def _consumed_parts(entry) -> tuple[int, set[int]]:
-        if isinstance(entry, dict):
-            return int(entry.get("hwm", -1)), set(entry.get("extra", []))
-        ids = set(entry or [])
-        return -1, ids
-
-    @classmethod
-    def _mark_consumed(cls, entry, new_ids) -> dict:
-        hwm, extra = cls._consumed_parts(entry)
-        extra |= set(new_ids)
-        while hwm + 1 in extra:
-            hwm += 1
-            extra.discard(hwm)
-        return {"hwm": hwm, "extra": sorted(extra)}
+    # Shared with MirrorTable — see the module-level helpers above.
+    _consumed_parts = staticmethod(consumed_parts)
+    _mark_consumed = staticmethod(mark_consumed)
 
     # ---------------- read ----------------
     def _stored_schema_ddl(self) -> str:
@@ -186,35 +231,9 @@ class IncrementalView:
 
     # ---------------- refresh ----------------
     def _pending(self, consumed: dict) -> list[tuple[str, list[int]]]:
-        """Unconsumed (scope_tag, [batch ids]) — driver-side directory
-        listing, the same metadata the feed's Hive pruning uses.
-        Raises ChangefeedExpiredError when retention removed batches
-        this view never consumed (dense per-scope ids make the hole
-        detectable: floor > consumed hwm + 1)."""
-        base = os.path.join(self.table.root, "_changes")
-        if not os.path.isdir(base):
-            return []
-        floors = self.table._load().get("changefeed_floor", {})
-        out = []
-        for d in sorted(os.listdir(base)):
-            if not d.startswith("scope="):
-                continue
-            tag = d.split("=", 1)[1]
-            hwm, extra = self._consumed_parts(consumed.get(tag))
-            floor = int(floors.get(tag, 0))
-            if floor > hwm + 1:
-                raise ChangefeedExpiredError(
-                    f"changefeed batches {hwm + 1}..{floor - 1} of scope tag "
-                    f"{tag} expired before this view consumed them — the view "
-                    "can no longer be maintained incrementally; rebuild it "
-                    "(delete the view root and refresh from a fresh feed)")
-            batches = sorted(
-                int(b.split("=", 1)[1])
-                for b in os.listdir(os.path.join(base, d)) if b.startswith("batch="))
-            new = [b for b in batches if b > hwm and b not in extra]
-            if new:
-                out.append((tag, new))
-        return out
+        """Unconsumed (scope_tag, [batch ids]) — shared probe, see
+        pending_feed_batches above."""
+        return pending_feed_batches(self.table, consumed, consumer="view")
 
     def _delta(self, changes: DataFrame) -> DataFrame:
         """Per-group delta of every SUM-maintained column — one

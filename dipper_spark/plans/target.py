@@ -878,6 +878,21 @@ class LocalCowTable:
                     raise CommitConflict(
                         f"concurrent schema change on {self.root} between read "
                         f"(v{base_man['version']}) and commit (v{cur['version']})")
+                # Layout guard: a merge's bucket ids, shuffle width and
+                # touched-bucket probe all derive from (n_buckets,
+                # format_version) read at start.  After a concurrent
+                # rescale/migration the per-bucket file-list compare
+                # below is meaningless (same id, different key range) —
+                # an empty-in-both bucket would pass it and commit
+                # files whose rows hash to a DIFFERENT bucket under the
+                # new layout, silently orphaning keys.  Always conflict.
+                if (cur["n_buckets"] != base_man["n_buckets"]
+                        or self._fmt(cur) != self._fmt(base_man)):
+                    raise CommitConflict(
+                        f"bucket layout changed concurrently on {self.root} "
+                        f"({base_man['n_buckets']}/v{self._fmt(base_man)} -> "
+                        f"{cur['n_buckets']}/v{self._fmt(cur)}) — retry re-plans "
+                        "against the new layout")
                 stale = [b for b in touched
                          if cur["buckets"].get(str(b), []) != base_man["buckets"].get(str(b), [])]
                 if stale:
@@ -1247,12 +1262,53 @@ class LocalCowTable:
                 if attempt == self.COMMIT_RETRIES - 1:
                     raise
 
-    def _compact_once(self, drop_tombstones: bool) -> int:
+    def rescale_buckets(self, new_n_buckets: int,
+                        drop_tombstones: bool = False) -> int:
+        """Online bucket-count change (Iceberg partition-evolution
+        analog, round 5): rewrite the table into `new_n_buckets` hash
+        buckets in ONE commit.  The initial bucket count is chosen at
+        create() when the table is empty; at 10^10-event scale the
+        right count is only known later (buckets bound both the merge
+        shuffle width and the one-file-per-bucket layout), so growing
+        a hot table — or shrinking an over-partitioned one — must not
+        require a blocking offline migration.
+
+        Semantics: identical row set (snapshot hash invariant, pinned
+        by tests/test_rescale.py), new layout.  Readers are unaffected
+        (they always bucket-probe with the manifest they loaded);
+        writers planned against the OLD count are rejected at commit
+        time by the layout guard in _commit_merge (n_buckets is part
+        of what a merge "read": its shuffle width, bucket ids and
+        touched-bucket probe all derive from it) and the API writers
+        re-derive and retry.  Time-travel versions keep their own
+        n_buckets in their retained manifests, so as-of reads across a
+        rescale stay correct.
+
+        Returns the number of non-empty buckets in the new layout."""
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        for attempt in range(self.COMMIT_RETRIES):
+            try:
+                return self._compact_once(drop_tombstones, new_n=new_n_buckets)
+            except CommitConflict:
+                if attempt == self.COMMIT_RETRIES - 1:
+                    raise
+
+    def _compact_once(self, drop_tombstones: bool, new_n: int | None = None) -> int:
         man = self._load()
         if man["schema"] is None:
+            if new_n is not None:  # empty table: pure metadata rescale
+                with self._commit_lock():
+                    cur = self._load()
+                    if cur["version"] != man["version"]:
+                        raise CommitConflict(
+                            f"table {self.root} advanced during rescale; re-running")
+                    cur["version"] += 1
+                    cur["n_buckets"] = new_n
+                    self._finish_commit(cur, [])
             return 0
         schema = T.StructType.fromJson(man["schema"])
-        nb = man["n_buckets"]
+        nb = new_n if new_n is not None else man["n_buckets"]
         df = self.read()
         if drop_tombstones:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
@@ -1292,6 +1348,7 @@ class LocalCowTable:
                         new_buckets[str(b)] = rels
                 cur["version"] = ver
                 cur["buckets"] = new_buckets
+                cur["n_buckets"] = nb  # rescale commits atomically with the layout
                 cur["format_version"] = 2  # v1 tables are fully re-bucketed above
                 self._finish_commit(cur, old)
         finally:

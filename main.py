@@ -8,6 +8,8 @@ Commands:
   ingest   --log DIR --table DIR --checkpoint DIR       streaming ingest (C1..C14)
   snapshot --table DIR [--limit N] [--as-of V]          stable-order snapshot (C16)
   compact  --table DIR [--drop-tombstones]              file compaction (C17)
+  rescale  --table DIR --n-buckets N                    online bucket-count change
+  mirror   --upstream DIR --table DIR [--n-buckets N]   sync a changefeed replica
   lineage  --table DIR                                  show lineage records
   versions --table DIR                                  retained time-travel versions
   expire   --table DIR [--keep-last K]                  reclaim time-travel space
@@ -98,6 +100,11 @@ def main() -> None:
     c.add_argument("--table", required=True)
     c.add_argument("--drop-tombstones", action="store_true")
 
+    rs = sub.add_parser("rescale", help="online bucket-count change (one commit)")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--n-buckets", type=int, required=True)
+    rs.add_argument("--drop-tombstones", action="store_true")
+
     ln = sub.add_parser("lineage")
     ln.add_argument("--table", required=True)
 
@@ -115,6 +122,15 @@ def main() -> None:
     e.add_argument("--keep-last", type=int, default=1)
     e.add_argument("--changefeed-keep-batches", type=int, default=None,
                    help="per scope, keep only the newest N changefeed batches")
+
+    mi = sub.add_parser("mirror", help="sync a changefeed-driven replica "
+                                       "(creates it on first run)")
+    mi.add_argument("--upstream", required=True)
+    mi.add_argument("--table", required=True)
+    mi.add_argument("--n-buckets", type=int, default=32)
+    mi.add_argument("--bootstrap", action="store_true",
+                    help="seed from the upstream snapshot (required when "
+                         "feed retention already expired history)")
 
     u = sub.add_parser("upsert", help="Delta-style MERGE of a parquet file")
     u.add_argument("--table", required=True)
@@ -210,6 +226,12 @@ def main() -> None:
 
         n = LocalCowTable(spark, args.table).compact(drop_tombstones=args.drop_tombstones)
         print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "rescale":
+        from dipper_spark.plans.target import LocalCowTable
+
+        n = LocalCowTable(spark, args.table).rescale_buckets(
+            args.n_buckets, drop_tombstones=args.drop_tombstones)
+        print(json.dumps({"n_buckets": args.n_buckets, "nonempty_buckets": n}))
     elif args.cmd == "lineage":
         from dipper_spark.plans.lineage import read_lineage
 
@@ -229,6 +251,20 @@ def main() -> None:
         out = LocalCowTable(spark, args.table).expire_snapshots(
             keep_last=args.keep_last,
             changefeed_keep_batches=args.changefeed_keep_batches)
+        print(json.dumps(out))
+    elif args.cmd == "mirror":
+        from dipper_spark.plans.mirror import MirrorTable
+        from dipper_spark.plans.target import LocalCowTable
+
+        if os.path.exists(os.path.join(args.table, LocalCowTable.MANIFEST)):
+            m = MirrorTable(spark, args.upstream, args.table)
+        else:
+            m = MirrorTable.create(spark, args.upstream, args.table,
+                                   n_buckets=args.n_buckets)
+        out = {}
+        if args.bootstrap:
+            out["bootstrap"] = m.bootstrap()
+        out["sync"] = m.sync()
         print(json.dumps(out))
     elif args.cmd == "upsert":
         from dipper_spark.plans.target import LocalCowTable
