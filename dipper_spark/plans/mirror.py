@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ivm import consumed_parts, mark_consumed, pending_feed_batches
-from .target import KEY_COLUMNS, SYSTEM_FIELDS, LocalCowTable
+from .target import KEY_COLUMNS, SYSTEM_FIELDS, CommitConflict, LocalCowTable
 
 _FEED_META = {"change_op", "before", "change_ts", "change_lsn", "scope", "batch"}
 
@@ -163,8 +163,8 @@ class MirrorTable:
                     .option("basePath", base).parquet(*paths))
             ev, data_cols = _feed_to_events(feed)
             collapsed = _collapse_events(ev, data_cols)
-            self.down.merge(collapsed, batch_id=max(batches),
-                            scope=f"mirror/{tag}", single_pass=False)
+            self._merge_retrying(collapsed, batch_id=max(batches),
+                                 scope=f"mirror/{tag}")
             merges += 1
             meta["consumed"][tag] = mark_consumed(meta["consumed"].get(tag), batches)
             self._write_meta(meta)
@@ -210,8 +210,13 @@ class MirrorTable:
             F.coalesce(F.col("_deleted"), F.lit(False)).alias("is_delete"),
         ).withColumn("n_events", F.lit(1).cast("long")) \
          .withColumn("n_unique", F.lit(1).cast("long"))
-        self.down.merge(ev, batch_id=0, scope="mirror-bootstrap",
-                        single_pass=False)
+        # batch_id=None: every bootstrap gets a FRESH ledger identity.
+        # A fixed id would make a SECOND bootstrap (mirror fell behind
+        # retention again) ledger-skip the snapshot merge while the
+        # watermark below still fast-forwards — silently losing the
+        # expired range.  Re-applying a snapshot is always safe: every
+        # row the mirror already has is a (ts, lsn) no-op.
+        self._merge_retrying(ev, batch_id=None, scope="mirror-bootstrap")
         meta = self._meta()
         for tag in set(listed) | set(floors):
             lo = int(floors.get(tag, 0))
@@ -220,6 +225,24 @@ class MirrorTable:
             meta["consumed"][tag] = mark_consumed(seed, listed.get(tag, []))
         self._write_meta(meta)
         return {"bootstrapped": True, "consumed": listed}
+
+    def _merge_retrying(self, collapsed: DataFrame, batch_id: int | None,
+                        scope: str) -> None:
+        """Explicit-batch-id merges don't self-retry inside
+        LocalCowTable (the CDC path treats a conflict as fatal), but a
+        mirror merge is safely re-derivable: each attempt re-reads the
+        downstream manifest, a replayed (scope, batch) is
+        ledger-skipped, and torn replays are (ts, lsn) no-ops — so a
+        bounded retry after a concurrent downstream commit is always
+        correct."""
+        for attempt in range(self.down.COMMIT_RETRIES):
+            try:
+                self.down.merge(collapsed, batch_id=batch_id, scope=scope,
+                                single_pass=False)
+                return
+            except CommitConflict:
+                if attempt == self.down.COMMIT_RETRIES - 1:
+                    raise
 
     # ---------------- sync (streaming) ----------------
     def sync_stream(self, checkpoint: str,

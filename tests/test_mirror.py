@@ -130,6 +130,33 @@ def test_expired_feed_requires_bootstrap(spark, tmp_path):
     assert _hash(m.down) == _hash(up)
 
 
+def test_double_bootstrap_after_falling_behind_twice(spark, tmp_path):
+    """A mirror that falls behind retention TWICE must reconverge on
+    the second bootstrap.  Regression: a fixed bootstrap ledger
+    identity would ledger-skip the second snapshot merge while the
+    watermark still fast-forwarded — silently losing the expired
+    range."""
+    up, stats = _upstream(spark, tmp_path, chunk_lsn=400)
+    assert len(stats) >= 3
+    up.expire_changefeed(keep_last_batches=1)
+    m = MirrorTable.create(spark, up.root, str(tmp_path / "down"))
+    m.bootstrap()
+    m.sync()
+    assert _hash(m.down) == _hash(up)
+    # fall behind again: two new commits, both expired before syncing
+    ts = dt.datetime(2027, 9, 1)
+    up.upsert(spark.createDataFrame([("bb-1", 0, "user", "one", ts)], ROWS))
+    up.upsert(spark.createDataFrame([("bb-2", 0, "user", "two", ts)], ROWS))
+    up.expire_changefeed(keep_last_batches=0, scope="api")
+    with pytest.raises(ChangefeedExpiredError):
+        m.sync()
+    m.bootstrap()  # second bootstrap MUST apply the new snapshot
+    m.sync()
+    assert _hash(m.down) == _hash(up)
+    assert m.down.snapshot().filter(
+        "conv_id in ('bb-1','bb-2')").count() == 2
+
+
 def test_streaming_mirror(spark, tmp_path):
     up, _ = _upstream(spark, tmp_path, chunk_lsn=600)
     m = MirrorTable.create(spark, up.root, str(tmp_path / "down"))
