@@ -110,16 +110,17 @@ PRIORITY = [
     "cdc_concurrent_writers",
     "cdc_feed_retention",
     "cdc_ivm_minmax",
-    # (b) the two second-wave round-5 contracts (bucket rescale,
-    # changefeed replica — relational_ext6.py) + touched-code
-    # re-confirmations.  cdc_time_travel_asof and stream_changefeed_tail
-    # (both green r4, re-verified by the local gate) ceded their window
-    # slots so the sum stays 3 + 6 + 41 = 50.
+    # (b) the three second-wave round-5 contracts (bucket rescale,
+    # changefeed replica, consumer-group retention —
+    # relational_ext6.py) + touched-code re-confirmations.
+    # cdc_time_travel_asof, stream_changefeed_tail and
+    # cdc_changefeed_roundtrip (all green r4, re-verified by the local
+    # gate) ceded their window slots so the sum stays 3 + 6 + 41 = 50.
     "cdc_bucket_rescale",
     "cdc_mirror_replica",
+    "cdc_consumer_group_retention",
     "cdc_replay_snapshot",
     "cdc_upsert_api",
-    "cdc_changefeed_roundtrip",
     "cdc_ivm_incremental",
     # (c) the 41 queries unsampled in round 4
     "scan_json_props",

@@ -169,3 +169,84 @@ def cdc_mirror_replica(spark, d):
         "full_sync_equals_upstream boolean, "
         "incremental_and_idempotent boolean, "
         "expired_feed_bootstrap_reconverges boolean")
+
+
+@q("cdc_consumer_group_retention", """
+SELECT CAST(1 AS BOOLEAN) AS slow_consumer_holds_floor,
+       CAST(1 AS BOOLEAN) AS acks_monotonic_and_auto,
+       CAST(1 AS BOOLEAN) AS registered_consumers_never_hit_holes
+""")
+def cdc_consumer_group_retention(spark, d):
+    """Consumer-group retention contract (round 5, beyond-survey —
+    target.py ack_consumer/register_consumer +
+    expire_changefeed(keep_consumed=True)): (a) the safe floor is the
+    MIN over registered consumers — a slow consumer holds batches, a
+    pre-registered no-progress consumer holds everything, and
+    unregistering the straggler releases the rest; (b) acks are
+    monotonic and IncrementalView/MirrorTable publish them
+    automatically after refresh/sync; (c) end to end, a registered
+    lagging mirror can always catch up incrementally — keep_consumed
+    maintenance never expires batches it still needs."""
+    from ..plans.mirror import MirrorTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_cgq_{uuid.uuid4().hex[:6]}_")
+    table, stats = _mk_table(spark, work, seed=104, chunk_lsn=150,
+                             changefeed=True)
+    base = os.path.join(table.root, "_changes")
+
+    def feed_batches():
+        out = {}
+        for sd in sorted(os.listdir(base)):
+            if sd.startswith("scope="):
+                out[sd.split("=", 1)[1]] = sorted(
+                    int(b.split("=", 1)[1])
+                    for b in os.listdir(os.path.join(base, sd))
+                    if b.startswith("batch="))
+        return out
+
+    batches = feed_batches()
+    tag = next(iter(batches))
+    n0 = len(batches[tag])
+
+    # (a) min-over-consumers floor
+    table.ack_consumer("fast", {tag: max(batches[tag])})
+    table.ack_consumer("slow", {tag: 0})
+    out1 = table.expire_changefeed(keep_consumed=True)
+    held = feed_batches()[tag] == batches[tag][1:]
+    table.register_consumer("not-started")
+    out2 = table.expire_changefeed(keep_consumed=True)
+    table.unregister_consumer("not-started")
+    table.unregister_consumer("slow")
+    out3 = table.expire_changefeed(keep_consumed=True)
+    a_ok = (n0 >= 3 and out1["dropped"].get(tag) == [0] and held
+            and out2["dropped"] == {} and
+            out3["dropped"].get(tag) == batches[tag][1:])
+
+    # (b) monotonic acks + automatic publication from the mirror
+    table.ack_consumer("fast", {tag: 0})  # backwards -> no-op
+    mono = table.consumers()["fast"][tag] == max(batches[tag])
+    m = MirrorTable.create(spark, table.root, os.path.join(work, "down"),
+                           consumer_name="m1")
+    registered = "m1" in table.consumers()
+    m.bootstrap()  # feed fully expired above -> snapshot seed
+    m.sync()
+    auto = (table.consumers()["m1"] != {}
+            and all(table.consumers()["m1"].get(t) == max(ids)
+                    for t, ids in feed_batches().items() if ids))
+    b_ok = mono and registered and auto
+
+    # (c) lagging registered mirror never hits a hole
+    ts = dt.datetime(2027, 12, 1)
+    table.upsert(spark.createDataFrame(
+        [("cgq-k", 0, "user", "late", ts)], ROWS))
+    table.expire_changefeed(keep_consumed=True)  # m1 lags: holds the batch
+    m.sync()
+    from ..testkit.oracle import state_hash
+    c_ok = (state_hash(m.down.snapshot().toPandas())
+            == state_hash(table.snapshot().toPandas()))
+
+    return spark.createDataFrame(
+        [(a_ok, b_ok, c_ok)],
+        "slow_consumer_holds_floor boolean, "
+        "acks_monotonic_and_auto boolean, "
+        "registered_consumers_never_hit_holes boolean")

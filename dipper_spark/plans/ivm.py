@@ -144,8 +144,16 @@ class IncrementalView:
     def __init__(self, spark: SparkSession, table: LocalCowTable, root: str,
                  group_cols: list[str], aggs: dict[str, str],
                  avgs: dict[str, str] | None = None,
-                 extrema: dict[str, tuple[str, str]] | None = None):
+                 extrema: dict[str, tuple[str, str]] | None = None,
+                 consumer_name: str | None = None):
         self.spark, self.table, self.root = spark, table, root
+        # consumer_name: register this view in the table's changefeed
+        # consumer group — each refresh acks its consumed watermark, so
+        # expire_changefeed(keep_consumed=True) never expires batches
+        # the view still needs (see target.py "consumer groups")
+        self.consumer_name = consumer_name
+        if consumer_name:
+            table.register_consumer(consumer_name)
         self.group_cols, self.aggs = list(group_cols), dict(aggs)
         self.avgs, self.extrema = dict(avgs or {}), dict(extrema or {})
         for name, (kind, _e) in self.extrema.items():
@@ -343,6 +351,7 @@ class IncrementalView:
                 meta["consumed"][tag] = self._mark_consumed(
                     meta["consumed"].get(tag), batches)
             self._write_meta(meta)
+            self._ack(meta)
             return {"consumed": dict(pending), "rescanned_groups": 0, "noop": False}
         changes = (self.spark.read.option("mergeSchema", "true")
                    .option("basePath", base).parquet(*dirs))
@@ -383,10 +392,21 @@ class IncrementalView:
                 meta["consumed"].get(tag), batches)
         meta["current"] = new_rel
         self._write_meta(meta)
+        self._ack(meta)
         if old_rel:
             shutil.rmtree(os.path.join(self.root, old_rel), ignore_errors=True)
         return {"consumed": dict(pending), "rescanned_groups": rescanned,
                 "noop": False}
+
+    def _ack(self, meta: dict) -> None:
+        """Publish this view's consumed hwm into the table's consumer
+        group (crash between meta write and ack only UNDER-reports —
+        retention stays conservative, never unsafe)."""
+        if self.consumer_name:
+            self.table.ack_consumer(
+                self.consumer_name,
+                {tag: consumed_parts(e)[0]
+                 for tag, e in meta["consumed"].items()})
 
     def _sweep_orphans(self) -> None:
         """Delete view_* dirs not referenced by meta['current'] —

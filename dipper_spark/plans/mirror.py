@@ -105,17 +105,27 @@ class MirrorTable:
 
     META = "_mirror.json"
 
-    def __init__(self, spark: SparkSession, upstream_root: str, root: str):
+    def __init__(self, spark: SparkSession, upstream_root: str, root: str,
+                 consumer_name: str | None = None):
         self.spark = spark
         self.up = LocalCowTable(spark, upstream_root)
         self.down = LocalCowTable(spark, root)
         self.root = root
+        # consumer_name: register in the upstream's changefeed consumer
+        # group — each sync/bootstrap acks, so
+        # expire_changefeed(keep_consumed=True) never expires batches
+        # this mirror still needs (a lagging mirror HOLDS retention
+        # instead of being forced into a re-bootstrap)
+        self.consumer_name = consumer_name
+        if consumer_name:
+            self.up.register_consumer(consumer_name)
 
     # ---------------- lifecycle ----------------
     @classmethod
     def create(cls, spark: SparkSession, upstream_root: str, root: str,
                n_buckets: int = 32, changefeed: bool = False,
-               time_travel: bool = False) -> "MirrorTable":
+               time_travel: bool = False,
+               consumer_name: str | None = None) -> "MirrorTable":
         if not os.path.exists(os.path.join(upstream_root, LocalCowTable.MANIFEST)):
             raise FileNotFoundError(f"upstream table {upstream_root} does not exist")
         up_man = LocalCowTable(spark, upstream_root)._load()
@@ -125,7 +135,7 @@ class MirrorTable:
                 "a mirror replicates the feed, not the base files")
         LocalCowTable.create(spark, root, n_buckets=n_buckets,
                              changefeed=changefeed, time_travel=time_travel)
-        m = cls(spark, upstream_root, root)
+        m = cls(spark, upstream_root, root, consumer_name=consumer_name)
         if not os.path.exists(m._meta_path()):
             m._write_meta({"upstream": upstream_root, "consumed": {}})
         return m
@@ -168,8 +178,19 @@ class MirrorTable:
             merges += 1
             meta["consumed"][tag] = mark_consumed(meta["consumed"].get(tag), batches)
             self._write_meta(meta)
+        self._ack(meta)
         return {"consumed": {t: b for t, b in pending}, "merges": merges,
                 "noop": False}
+
+    def _ack(self, meta: dict) -> None:
+        """Publish consumed hwms into the upstream consumer group (a
+        crash before the ack only under-reports — retention stays
+        conservative, never unsafe)."""
+        if self.consumer_name:
+            self.up.ack_consumer(
+                self.consumer_name,
+                {tag: consumed_parts(e)[0]
+                 for tag, e in meta["consumed"].items()})
 
     # ---------------- bootstrap (snapshot seed) ----------------
     def bootstrap(self) -> dict:
@@ -224,6 +245,7 @@ class MirrorTable:
             seed = {"hwm": max(hwm0, lo - 1), "extra": sorted(extra0)}
             meta["consumed"][tag] = mark_consumed(seed, listed.get(tag, []))
         self._write_meta(meta)
+        self._ack(meta)
         return {"bootstrapped": True, "consumed": listed}
 
     def _merge_retrying(self, collapsed: DataFrame, batch_id: int | None,

@@ -1115,9 +1115,65 @@ class LocalCowTable:
             df = df.filter(F.col("batch") > since_batch)
         return df
 
+    # ---------------- changefeed consumer groups (round 5) ----------------
+    # The retention loop closed: floors + ChangefeedExpiredError make
+    # falling behind LOUD (above), and registered consumers make it
+    # AVOIDABLE — expire_changefeed(keep_consumed=True) only expires
+    # batches EVERY registered consumer has passed, so a slow consumer
+    # holds retention instead of breaking (Kafka's consumer-group
+    # offset-retention shape).  IncrementalView(consumer_name=...) and
+    # MirrorTable(consumer_name=...) ack automatically after each
+    # refresh/sync.
+
+    def register_consumer(self, name: str) -> None:
+        """Pre-register a feed consumer with no progress yet: it holds
+        retention from batch 0 of every scope until its first ack."""
+        with self._commit_lock():
+            man = self._load()
+            if not man.get("changefeed"):
+                raise ValueError("table was not created with changefeed=True")
+            man.setdefault("changefeed_consumers", {}).setdefault(name, {})
+            man["version"] += 1
+            self._write_manifest(man)
+
+    def ack_consumer(self, name: str, consumed: dict) -> None:
+        """Record a consumer's per-scope-tag consumed high-watermarks
+        (monotonic: acks never move backwards).  `consumed` maps scope
+        TAG -> hwm int (or a {"hwm": N, ...} entry — only hwm is kept;
+        sparse extras are not expressible, which is conservative for
+        retention).  A concurrent merge commit is unaffected: the ack
+        bumps the version but changes no schema/layout/bucket state,
+        so optimistic writers rebase cleanly over it."""
+        with self._commit_lock():
+            man = self._load()
+            if not man.get("changefeed"):
+                raise ValueError("table was not created with changefeed=True")
+            cons = man.setdefault("changefeed_consumers", {})
+            ent = cons.setdefault(name, {})
+            for tag, v in consumed.items():
+                hwm = int(v.get("hwm", -1)) if isinstance(v, dict) else int(v)
+                ent[tag] = max(int(ent.get(tag, -1)), hwm)
+            man["version"] += 1
+            self._write_manifest(man)
+
+    def consumers(self) -> dict:
+        """Registered feed consumers -> {scope tag: consumed hwm}."""
+        return {n: dict(v) for n, v in
+                self._load().get("changefeed_consumers", {}).items()}
+
+    def unregister_consumer(self, name: str) -> None:
+        """Drop a consumer from retention accounting (it stops holding
+        batches; a later sync from it may raise ChangefeedExpiredError)."""
+        with self._commit_lock():
+            man = self._load()
+            if man.get("changefeed_consumers", {}).pop(name, None) is not None:
+                man["version"] += 1
+                self._write_manifest(man)
+
     def expire_changefeed(self, keep_last_batches: int | None = None,
                           through_batch: int | None = None,
-                          scope: str | None = None) -> dict:
+                          scope: str | None = None,
+                          keep_consumed: bool = False) -> dict:
         """Changefeed retention (round 5, VERDICT r4 #2): without it a
         long-lived table accumulates an unbounded second copy of all
         history under _changes/.  Removes expired batch dirs and
@@ -1130,14 +1186,21 @@ class LocalCowTable:
           * keep_last_batches=N — per scope, keep the newest N batch
             dirs (applies to every scope, or just `scope`);
           * through_batch=K (+ scope) — expire batch ids <= K of that
-            scope (Kafka delete-records shape).
+            scope (Kafka delete-records shape);
+          * keep_consumed=True — expire only batches EVERY registered
+            consumer (ack_consumer) has passed; a consumer with no
+            progress on a scope holds that scope entirely.  Raises if
+            no consumer is registered (nothing is provably safe).
 
         Metadata-only: a directory list + rmtree per expired batch, no
         data read.  Runs under the commit lock so a concurrent merge's
         just-published batch is never considered.  Also sweeps
         crash-orphaned .stage_* dirs older than an hour."""
-        if (keep_last_batches is None) == (through_batch is None):
-            raise ValueError("pass exactly one of keep_last_batches / through_batch")
+        n_policies = sum([keep_last_batches is not None,
+                          through_batch is not None, bool(keep_consumed)])
+        if n_policies != 1:
+            raise ValueError("pass exactly one of keep_last_batches / "
+                             "through_batch / keep_consumed")
         if through_batch is not None and scope is None:
             raise ValueError("through_batch retention needs an explicit scope")
         base = os.path.join(self.root, "_changes")
@@ -1147,6 +1210,12 @@ class LocalCowTable:
             if not man.get("changefeed"):
                 raise ValueError("table was not created with changefeed=True")
             floors = man.setdefault("changefeed_floor", {})
+            cons = man.get("changefeed_consumers", {})
+            if keep_consumed and not cons:
+                raise ValueError(
+                    "keep_consumed retention needs at least one registered "
+                    "consumer (register_consumer / ack_consumer) — with none, "
+                    "no batch is provably safe to expire")
             if os.path.isdir(base):
                 for d in sorted(os.listdir(base)):
                     if not d.startswith("scope="):
@@ -1158,7 +1227,12 @@ class LocalCowTable:
                     batches = sorted(
                         int(b.split("=", 1)[1])
                         for b in os.listdir(sdir) if b.startswith("batch="))
-                    if keep_last_batches is not None:
+                    if keep_consumed:
+                        # safe floor = min over consumers of (hwm + 1);
+                        # an entry-less consumer holds the whole scope
+                        safe = min(int(e.get(tag, -1)) + 1 for e in cons.values())
+                        expire = [b for b in batches if b < safe]
+                    elif keep_last_batches is not None:
                         expire = batches[:-keep_last_batches] if keep_last_batches > 0 else batches
                     else:
                         expire = [b for b in batches if b <= through_batch]

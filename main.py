@@ -122,6 +122,13 @@ def main() -> None:
     e.add_argument("--keep-last", type=int, default=1)
     e.add_argument("--changefeed-keep-batches", type=int, default=None,
                    help="per scope, keep only the newest N changefeed batches")
+    e.add_argument("--changefeed-keep-consumed", action="store_true",
+                   help="expire only feed batches every registered consumer "
+                        "has passed (consumer-group retention)")
+
+    co = sub.add_parser("consumers", help="registered changefeed consumers "
+                                          "and their consumed watermarks")
+    co.add_argument("--table", required=True)
 
     mi = sub.add_parser("mirror", help="sync a changefeed-driven replica "
                                        "(creates it on first run)")
@@ -131,6 +138,9 @@ def main() -> None:
     mi.add_argument("--bootstrap", action="store_true",
                     help="seed from the upstream snapshot (required when "
                          "feed retention already expired history)")
+    mi.add_argument("--consumer-name", default=None,
+                    help="register in the upstream consumer group (holds "
+                         "keep-consumed retention while this mirror lags)")
 
     u = sub.add_parser("upsert", help="Delta-style MERGE of a parquet file")
     u.add_argument("--table", required=True)
@@ -158,6 +168,9 @@ def main() -> None:
                     help="name=row_expr MAX extremum (rescan-on-retraction); "
                          "repeatable")
     vr.add_argument("--limit", type=int, default=20)
+    vr.add_argument("--consumer-name", default=None,
+                    help="register in the table's consumer group (holds "
+                         "keep-consumed retention while this view lags)")
 
     sub.add_parser("zip")
 
@@ -248,19 +261,28 @@ def main() -> None:
     elif args.cmd == "expire":
         from dipper_spark.plans.target import LocalCowTable
 
-        out = LocalCowTable(spark, args.table).expire_snapshots(
+        t = LocalCowTable(spark, args.table)
+        out = t.expire_snapshots(
             keep_last=args.keep_last,
             changefeed_keep_batches=args.changefeed_keep_batches)
+        if args.changefeed_keep_consumed:
+            out["changefeed"] = t.expire_changefeed(keep_consumed=True)
         print(json.dumps(out))
+    elif args.cmd == "consumers":
+        from dipper_spark.plans.target import LocalCowTable
+
+        print(json.dumps(LocalCowTable(spark, args.table).consumers()))
     elif args.cmd == "mirror":
         from dipper_spark.plans.mirror import MirrorTable
         from dipper_spark.plans.target import LocalCowTable
 
         if os.path.exists(os.path.join(args.table, LocalCowTable.MANIFEST)):
-            m = MirrorTable(spark, args.upstream, args.table)
+            m = MirrorTable(spark, args.upstream, args.table,
+                            consumer_name=args.consumer_name)
         else:
             m = MirrorTable.create(spark, args.upstream, args.table,
-                                   n_buckets=args.n_buckets)
+                                   n_buckets=args.n_buckets,
+                                   consumer_name=args.consumer_name)
         out = {}
         if args.bootstrap:
             out["bootstrap"] = m.bootstrap()
@@ -289,7 +311,8 @@ def main() -> None:
         view = IncrementalView(spark, LocalCowTable(spark, args.table), args.view,
                                args.group_by.split(","), aggs,
                                avgs=dict(a.split("=", 1) for a in args.avg),
-                               extrema=extrema)
+                               extrema=extrema,
+                               consumer_name=args.consumer_name)
         out = view.refresh()
         print(json.dumps(out))
         view.read().orderBy(*args.group_by.split(",")).show(args.limit, truncate=False)
