@@ -104,24 +104,26 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 # + 41 = 50 = exactly the window.  NB the continuously-enforced gate
 # is NOT this window — it is tools/check_oracles.py over ALL
 # registered queries (run before every merge; replicates the driver's
-# DuckDB compare — 94/94 green).
+# DuckDB compare — 98/98 green).
 PRIORITY = [
     # (a) new round-5 contracts
     "cdc_concurrent_writers",
     "cdc_feed_retention",
     "cdc_ivm_minmax",
-    # (b) the three second-wave round-5 contracts (bucket rescale,
-    # changefeed replica, consumer-group retention —
+    # (b) the four second-wave round-5 contracts (bucket rescale,
+    # changefeed replica, consumer-group retention, SCD2 history —
     # relational_ext6.py) + touched-code re-confirmations.
-    # cdc_time_travel_asof, stream_changefeed_tail and
-    # cdc_changefeed_roundtrip (all green r4, re-verified by the local
-    # gate) ceded their window slots so the sum stays 3 + 6 + 41 = 50.
+    # cdc_time_travel_asof, stream_changefeed_tail,
+    # cdc_changefeed_roundtrip and cdc_ivm_incremental (all green r4,
+    # re-verified by the local gate; IVM is re-sampled this round via
+    # cdc_ivm_minmax + cdc_consumer_group_retention) ceded their
+    # window slots so the sum stays 3 + 6 + 41 = 50.
     "cdc_bucket_rescale",
     "cdc_mirror_replica",
     "cdc_consumer_group_retention",
+    "cdc_scd2_history",
     "cdc_replay_snapshot",
     "cdc_upsert_api",
-    "cdc_ivm_incremental",
     # (c) the 41 queries unsampled in round 4
     "scan_json_props",
     "project_filter_case",

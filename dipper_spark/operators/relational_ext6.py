@@ -250,3 +250,80 @@ def cdc_consumer_group_retention(spark, d):
         "slow_consumer_holds_floor boolean, "
         "acks_monotonic_and_auto boolean, "
         "registered_consumers_never_hit_holes boolean")
+
+
+@q("cdc_scd2_history", """
+SELECT CAST(1 AS BOOLEAN) AS current_slice_equals_snapshot,
+       CAST(1 AS BOOLEAN) AS state_at_equals_time_travel,
+       CAST(1 AS BOOLEAN) AS intervals_disjoint_contiguous
+""")
+def cdc_scd2_history(spark, d):
+    """SCD2 history contract (round 5, beyond-survey —
+    plans/history.py scd2_history/state_at over the changefeed):
+    (a) the is_current slice equals snapshot() byte-for-byte;
+    (b) reconstructing the state at each commit's max applied
+    (ts, lsn) from the history frame equals the TIME-TRAVEL snapshot
+    of that version (every version, fingerprint equality);
+    (c) per key the version intervals are disjoint, strictly ordered
+    by the (ts, lsn) clock, contiguous where end_op='U', and exactly
+    the last version per live key is open."""
+    from ..plans.history import state_at
+    from ..schemas import SPEC_COLUMNS
+    from ..testkit.oracle import state_hash
+
+    work = tempfile.mkdtemp(prefix=f"dipper_hsq_{uuid.uuid4().hex[:6]}_")
+    table, stats = _mk_table(spark, work, seed=105, chunk_lsn=300,
+                             changefeed=True, time_travel=True)
+    hist = table.history().cache()
+
+    cur = hist.filter("is_current").select(*table.snapshot().columns)
+    a_ok = state_hash(cur.toPandas()) == _state_hash_hex(table)
+
+    frontiers = (table.changefeed().groupBy("batch")
+                 .agg(F.max(F.struct("change_ts", "change_lsn")).alias("m"))
+                 .orderBy("batch").collect())
+    versions = table.versions()[1:]
+    b_ok = len(frontiers) == len(versions) >= 2
+    for row, v in zip(frontiers, versions):
+        got = state_at(hist, row["m"]["change_ts"], row["m"]["change_lsn"])
+        b_ok = b_ok and (
+            state_hash(got.select(*SPEC_COLUMNS).toPandas())
+            == state_hash(table.snapshot(as_of=v)
+                          .select(*SPEC_COLUMNS).toPandas()))
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy("conv_id", "turn_idx")
+         .orderBy("effective_from_ts", "effective_from_lsn"))
+    chk = (hist
+           .withColumn("_nf_ts", F.lead("effective_from_ts").over(w))
+           .withColumn("_nf_lsn", F.lead("effective_from_lsn").over(w))
+           .withColumn("_last", F.col("_nf_ts").isNull())
+           .withColumn("_bad",
+                       # non-last must be closed; last open iff current
+                       (~F.col("_last") & F.col("effective_to_ts").isNull())
+                       | (F.col("_last")
+                          & (F.col("effective_to_ts").isNull()
+                             != F.col("is_current")))
+                       # strictly increasing clock
+                       | (~F.col("_last")
+                          & (F.struct("effective_from_ts", "effective_from_lsn")
+                             >= F.struct("_nf_ts", "_nf_lsn")))
+                       # 'U' closes exactly where the next opens; 'D' at
+                       # or before it
+                       | (~F.col("_last") & (F.col("end_op") == "U")
+                          & ((F.col("effective_to_ts") != F.col("_nf_ts"))
+                             | (F.col("effective_to_lsn") != F.col("_nf_lsn"))))
+                       | (~F.col("_last") & (F.col("end_op") == "D")
+                          & (F.struct("effective_to_ts", "effective_to_lsn")
+                             > F.struct("_nf_ts", "_nf_lsn")))))
+    agg = chk.agg(F.sum(F.col("_bad").cast("long")).alias("bad"),
+                  F.count("*").alias("n"),
+                  F.sum(F.col("is_current").cast("long")).alias("ncur")).first()
+    c_ok = (agg["bad"] == 0 and agg["n"] > agg["ncur"] > 0)
+    hist.unpersist()
+
+    return spark.createDataFrame(
+        [(a_ok, bool(b_ok), c_ok)],
+        "current_slice_equals_snapshot boolean, "
+        "state_at_equals_time_travel boolean, "
+        "intervals_disjoint_contiguous boolean")

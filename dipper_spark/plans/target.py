@@ -1254,6 +1254,17 @@ class LocalCowTable:
         return {"dropped": dropped,
                 "floors": {t: int(v) for t, v in floors.items()}}
 
+    def history(self, scope: str | None = None) -> DataFrame:
+        """SCD2 row-version history derived from the changefeed: one
+        row per key version with effective_from/to (ts, lsn), end_op,
+        and is_current (the is_current slice == snapshot()).  See
+        plans/history.py for semantics, scale, and the retention
+        contract (needs the full feed — raises ChangefeedExpiredError
+        after any expiry)."""
+        from .history import scd2_history
+
+        return scd2_history(self, scope=scope)
+
     def changefeed_stream(self, max_files_per_trigger: int | None = None,
                           fail_on_data_loss: bool = True) -> DataFrame:
         """Tail the changefeed as a Structured Stream — the downstream

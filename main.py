@@ -7,12 +7,14 @@ Commands:
   replay   --log DIR --table DIR [--chunk-lsn N]        batch backfill (op C15)
   ingest   --log DIR --table DIR --checkpoint DIR       streaming ingest (C1..C14)
   snapshot --table DIR [--limit N] [--as-of V]          stable-order snapshot (C16)
+  history  --table DIR [--at-ts T | --current-only]     SCD2 row-version history
   compact  --table DIR [--drop-tombstones]              file compaction (C17)
   rescale  --table DIR --n-buckets N                    online bucket-count change
   mirror   --upstream DIR --table DIR [--n-buckets N]   sync a changefeed replica
   lineage  --table DIR                                  show lineage records
   versions --table DIR                                  retained time-travel versions
   expire   --table DIR [--keep-last K]                  reclaim time-travel space
+  consumers --table DIR                                 changefeed consumer group
   upsert   --table DIR --parquet PATH                   Delta-style MERGE of a file
   delete   --table DIR --where PRED                     predicate tombstones
   view-refresh --table DIR --view DIR --group-by COLS [--agg n=expr ...]
@@ -95,6 +97,17 @@ def main() -> None:
     s.add_argument("--limit", type=int, default=20)
     s.add_argument("--as-of", type=int, default=None,
                    help="time-travel to a retained table version")
+
+    hi = sub.add_parser("history", help="SCD2 row-version history derived "
+                                        "from the changefeed (needs the full "
+                                        "feed retained)")
+    hi.add_argument("--table", required=True)
+    hi.add_argument("--limit", type=int, default=20)
+    hi.add_argument("--at-ts", default=None,
+                    help="ISO timestamp: show the reconstructed state at "
+                         "that point instead of the version rows")
+    hi.add_argument("--current-only", action="store_true",
+                    help="only open, live versions (== snapshot)")
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
@@ -234,6 +247,17 @@ def main() -> None:
 
         t = LocalCowTable(spark, args.table)
         t.snapshot(as_of=args.as_of).show(args.limit, truncate=40)
+    elif args.cmd == "history":
+        from dipper_spark.plans.history import state_at
+        from dipper_spark.plans.target import LocalCowTable
+
+        h = LocalCowTable(spark, args.table).history()
+        if args.at_ts is not None:
+            h = state_at(h, args.at_ts)
+        elif args.current_only:
+            h = h.filter("is_current")
+        h.orderBy("conv_id", "turn_idx", "effective_from_ts",
+                  "effective_from_lsn").show(args.limit, truncate=40)
     elif args.cmd == "compact":
         from dipper_spark.plans.target import LocalCowTable
 
