@@ -104,26 +104,28 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 # + 41 = 50 = exactly the window.  NB the continuously-enforced gate
 # is NOT this window — it is tools/check_oracles.py over ALL
 # registered queries (run before every merge; replicates the driver's
-# DuckDB compare — 98/98 green).
+# DuckDB compare — 99/99 green).
 PRIORITY = [
     # (a) new round-5 contracts
     "cdc_concurrent_writers",
     "cdc_feed_retention",
     "cdc_ivm_minmax",
-    # (b) the four second-wave round-5 contracts (bucket rescale,
-    # changefeed replica, consumer-group retention, SCD2 history —
-    # relational_ext6.py) + touched-code re-confirmations.
-    # cdc_time_travel_asof, stream_changefeed_tail,
-    # cdc_changefeed_roundtrip and cdc_ivm_incremental (all green r4,
-    # re-verified by the local gate; IVM is re-sampled this round via
-    # cdc_ivm_minmax + cdc_consumer_group_retention) ceded their
-    # window slots so the sum stays 3 + 6 + 41 = 50.
+    # (b) the five second-wave round-5 contracts (bucket rescale,
+    # changefeed replica, consumer-group retention, SCD2 history,
+    # CHECK constraints — relational_ext6.py) + the flagship
+    # re-confirmation (merge path touched).  cdc_time_travel_asof,
+    # stream_changefeed_tail, cdc_changefeed_roundtrip,
+    # cdc_ivm_incremental and cdc_upsert_api (all green r4,
+    # re-verified by the local gate; IVM re-sampled via cdc_ivm_minmax
+    # + cdc_consumer_group_retention; the upsert path is exercised by
+    # cdc_check_constraints itself) ceded their window slots so the
+    # sum stays 3 + 6 + 41 = 50.
     "cdc_bucket_rescale",
     "cdc_mirror_replica",
     "cdc_consumer_group_retention",
     "cdc_scd2_history",
+    "cdc_check_constraints",
     "cdc_replay_snapshot",
-    "cdc_upsert_api",
     # (c) the 41 queries unsampled in round 4
     "scan_json_props",
     "project_filter_case",

@@ -327,3 +327,76 @@ def cdc_scd2_history(spark, d):
         "current_slice_equals_snapshot boolean, "
         "state_at_equals_time_travel boolean, "
         "intervals_disjoint_contiguous boolean")
+
+
+@q("cdc_check_constraints", """
+SELECT CAST(1 AS BOOLEAN) AS enforce_atomic_reject,
+       CAST(1 AS BOOLEAN) AS quarantine_routes_and_applies,
+       CAST(1 AS BOOLEAN) AS ansi_nulls_deletes_addtime
+""")
+def cdc_check_constraints(spark, d):
+    """CHECK-constraint contract (round 5, beyond-survey — target.py
+    add_check_constraint, Delta invariant shape): (a) an enforce-mode
+    violation rejects the WHOLE batch before anything is written
+    (snapshot fingerprint and manifest version unchanged, passing rows
+    included); (b) a quarantine-mode violation routes exactly the
+    violating rows to the dead-letter sink under the committed batch
+    id, applies the rest, counts rows_quarantined, and keeps the
+    changefeed clean; (c) ANSI semantics — NULL passes, deletes are
+    exempt — and ADD validates existing rows (violating add raises,
+    nothing registered)."""
+    from ..plans.target import ConstraintViolation, LocalCowTable
+    from ..testkit.oracle import state_hash
+
+    work = tempfile.mkdtemp(prefix=f"dipper_ckq_{uuid.uuid4().hex[:6]}_")
+    t = LocalCowTable.create(spark, os.path.join(work, "tbl"), n_buckets=8,
+                             changefeed=True)
+    ts = dt.datetime(2027, 4, 1)
+    t.upsert(spark.createDataFrame(
+        [("ck-a", 0, "user", "seed", ts)], ROWS))
+
+    # (a) enforce: atomic reject
+    t.add_check_constraint("text_present",
+                           "text IS NOT NULL AND length(text) > 0")
+    before, v0 = _state_hash_hex(t), t._load()["version"]
+    raised = False
+    try:
+        t.upsert(spark.createDataFrame(
+            [("ck-a", 1, "user", "fine", ts), ("ck-a", 2, "user", "", ts)],
+            ROWS))
+    except ConstraintViolation as e:
+        raised = e.counts == {"text_present": 1}
+    a_ok = raised and _state_hash_hex(t) == before and t._load()["version"] == v0
+
+    # (b) quarantine: route + apply + stats + clean feed
+    t.add_check_constraint("no_poison", "text NOT LIKE '%POISON%'",
+                           mode="quarantine")
+    st = t.upsert(spark.createDataFrame(
+        [("ck-b", 0, "user", "clean", ts),
+         ("ck-b", 1, "user", "POISON pill", ts)], ROWS))
+    quar = t.quarantined()
+    b_ok = (st.rows_quarantined == 1 and quar.count() == 1
+            and quar.first()["text"] == "POISON pill"
+            and quar.first()["batch"] == st.batch_id
+            and t.snapshot().filter("conv_id = 'ck-b'").count() == 1
+            and t.changefeed().filter("text LIKE '%POISON%'").count() == 0)
+
+    # (c) NULL passes, deletes exempt, add-time validation
+    t.upsert(spark.createDataFrame(
+        [("ck-c", 0, None, "null role ok", ts)], ROWS))
+    t.delete_where("conv_id = 'ck-a' AND turn_idx = 0")
+    add_rejected = False
+    try:
+        t.add_check_constraint("len_lt_5", "length(text) < 5")
+    except ConstraintViolation:
+        add_rejected = "len_lt_5" not in t.check_constraints()
+    c_ok = (t.snapshot().filter("conv_id = 'ck-c'").count() == 1
+            and t.snapshot().filter("conv_id = 'ck-a' AND turn_idx = 0")
+                 .count() == 0
+            and add_rejected)
+
+    return spark.createDataFrame(
+        [(a_ok, b_ok, c_ok)],
+        "enforce_atomic_reject boolean, "
+        "quarantine_routes_and_applies boolean, "
+        "ansi_nulls_deletes_addtime boolean")

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
-from .target import MergeStats
+from .target import DEAD_LETTER_DIR, MergeStats
 
 LINEAGE_DIR = "_lineage"
 
@@ -69,7 +69,6 @@ def read_lineage(spark: SparkSession, table_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_root, LINEAGE_DIR))
 
 
-DEAD_LETTER_DIR = "_deadletter"
 
 
 def write_dead_letter(table_root: str, bad: DataFrame, batch_id: int) -> None:

@@ -63,6 +63,10 @@ from pyspark.sql import types as T
 
 from ..schemas import KEY_COLUMNS, SPEC_COLUMNS
 
+# lineage.py imports MergeStats from here — keep this constant local
+# (same value as lineage.DEAD_LETTER_DIR) to avoid the import cycle
+DEAD_LETTER_DIR = "_deadletter"
+
 SYSTEM_FIELDS = [
     T.StructField("_op_ts", T.TimestampType(), True),
     T.StructField("_lsn", T.LongType(), True),
@@ -94,6 +98,21 @@ class ChangefeedExpiredError(ValueError):
     from a full snapshot instead of tailing the feed."""
 
 
+class ConstraintViolation(ValueError):
+    """An incoming batch violates an ENFORCE-mode CHECK constraint
+    (Delta's InvariantViolationException shape).  Raised before any
+    file is written or committed — the merge was NOT applied.  The
+    message carries per-constraint violation counts; quarantine-mode
+    constraints never raise (violating rows are routed to the
+    dead-letter sink instead)."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = dict(counts)
+        super().__init__(
+            "CHECK constraint violation(s) in incoming batch: "
+            + ", ".join(f"{n}={c} rows" for n, c in sorted(counts.items())))
+
+
 class CommitConflict(RuntimeError):
     """Optimistic-concurrency failure: another writer committed a
     conflicting change between this writer's manifest read and its
@@ -119,6 +138,7 @@ class MergeStats:
     offset_min: int | None = None
     offset_max: int | None = None
     wall_ms: int = 0
+    rows_quarantined: int = 0
 
 
 class LocalCowTable:
@@ -399,10 +419,13 @@ class LocalCowTable:
             parts.append(self._conform(rd.parquet(*ps), schema))
         return reduce(DataFrame.unionAll, parts)
 
-    def read(self, include_system: bool = True, as_of: int | None = None) -> DataFrame:
+    def read(self, include_system: bool = True,
+             as_of: int | str | None = None) -> DataFrame:
         """Full snapshot, system columns included (tombstones too).
-        `as_of` reads a retained table version (time_travel tables)."""
-        man = self._load() if as_of is None else self._load_as_of(as_of)
+        `as_of` reads a retained table version (time_travel tables) —
+        a version int or a tag name (tag_snapshot)."""
+        man = (self._load() if as_of is None
+               else self._load_as_of(self._resolve_as_of(as_of)))
         schema = T.StructType.fromJson(man["schema"]) if man["schema"] else T.StructType(
             [T.StructField("conv_id", T.StringType(), False),
              T.StructField("turn_idx", T.IntegerType(), False)] + SYSTEM_FIELDS
@@ -425,6 +448,52 @@ class LocalCowTable:
                     out.add(int(fn[1:-5]))
         out.add(self._load()["version"])
         return sorted(out)
+
+    # ---------------- snapshot tags (round 5) ----------------
+    # Named pins on retained versions (Iceberg tag shape): a tagged
+    # version survives expire_snapshots until the tag is dropped, and
+    # every as_of read surface accepts the tag name in place of the
+    # version int.  Metadata-only — a dict in the manifest.
+
+    def tag_snapshot(self, name: str, version: int | None = None) -> int:
+        """Pin `name` to a retained version (default: current).
+        Requires time_travel=True — without retained manifests a tag
+        would dangle as soon as the next commit lands."""
+        with self._commit_lock():
+            man = self._load()
+            if not man.get("time_travel"):
+                raise ValueError("tags need a time_travel=True table "
+                                 "(nothing is retained to pin otherwise)")
+            v = man["version"] if version is None else int(version)
+            if v != man["version"]:
+                self._load_as_of(v)  # raises if not retained
+            tags = man.setdefault("tags", {})
+            if name in tags:
+                raise ValueError(f"tag {name!r} already exists (-> v{tags[name]})")
+            tags[name] = v
+            man["version"] += 1
+            self._write_manifest(man)
+            return v
+
+    def drop_tag(self, name: str) -> None:
+        with self._commit_lock():
+            man = self._load()
+            if man.get("tags", {}).pop(name, None) is None:
+                raise ValueError(f"no such tag {name!r}")
+            man["version"] += 1
+            self._write_manifest(man)
+
+    def tags(self) -> dict:
+        """Registered tags -> pinned version int."""
+        return dict(self._load().get("tags", {}))
+
+    def _resolve_as_of(self, as_of: int | str) -> int:
+        if isinstance(as_of, str):
+            tags = self._load().get("tags", {})
+            if as_of not in tags:
+                raise ValueError(f"no such tag {as_of!r} (tags: {sorted(tags)})")
+            return int(tags[as_of])
+        return int(as_of)
 
     def _load_as_of(self, version: int) -> dict:
         man = self._load()
@@ -464,6 +533,8 @@ class LocalCowTable:
             vd = self._versions_dir()
             all_vs = self.versions()
             keep = set(all_vs[-max(1, keep_last):]) | {man["version"]}
+            # tagged versions are pinned until their tag is dropped
+            keep |= {int(v) for v in man.get("tags", {}).values()}
             live: set = set()
             for v in keep:
                 try:
@@ -525,10 +596,11 @@ class LocalCowTable:
             *[f.name for f in SYSTEM_FIELDS]
         )
 
-    def snapshot(self, as_of: int | None = None) -> DataFrame:
+    def snapshot(self, as_of: int | str | None = None) -> DataFrame:
         """Stable-order finalization (op C16): live rows, spec columns,
         ordered by (conv_id, turn_idx).  `as_of` time-travels to a
-        retained table version (see create(time_travel=True))."""
+        retained table version — int or tag name (see
+        create(time_travel=True), tag_snapshot)."""
         df = self.read(as_of=as_of).filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         cols = [c for c in SPEC_COLUMNS if c in df.columns]
         return df.select(*cols).orderBy(*KEY_COLUMNS)
@@ -639,18 +711,67 @@ class LocalCowTable:
         # probe materialization is pure waste — run the whole
         # scan->decode->collapse->write pipeline as ONE pass and
         # discover the touched buckets from the written dirs instead.
-        fresh = single_pass and not any(man["buckets"].values())
+        # CHECK constraints force the materialized path: the violation
+        # scan must read the (persisted) net-change frame once instead
+        # of re-running the whole collapse pipeline, and an enforce
+        # failure must abort BEFORE any file is written.
+        cons = man.get("check_constraints", {})
+        fresh = single_pass and not any(man["buckets"].values()) and not cons
         stage_dir = None
         persisted = False
         if fresh:
             s = s.alias("s")
         elif os.environ.get("DIPPER_NETCHANGE_MAT", "persist") == "persist":
-            s = s.alias("s").persist()
+            s = s_cached = s.alias("s").persist()
             persisted = True
         else:
             stage_dir = os.path.join(self.root, f"_stage_b{batch_id}_{uuid.uuid4().hex[:8]}")
             s.write.mode("overwrite").parquet(stage_dir)
             s = self.spark.read.parquet(stage_dir).alias("s")
+
+        # --- CHECK constraints (Delta invariant shape, ANSI null
+        # semantics: NULL passes; deletes are exempt — null payload).
+        # One aggregation over the persisted net-change frame gives
+        # per-constraint violation counts; enforce-mode violations
+        # abort with nothing written, quarantine-mode rows go to the
+        # dead-letter sink and the rest of the batch applies.
+        quarantined = 0
+        quarantine_stage = None
+        if cons:
+            def _passes(expr: str):
+                return (F.coalesce(F.col("_deleted"), F.lit(False))
+                        | F.coalesce(F.expr(expr), F.lit(True)))
+
+            counts = s.agg(*[
+                F.sum((~_passes(c["expr"])).cast("long")).alias(name)
+                for name, c in cons.items()]).first()
+            enforce_bad = {n: counts[n] for n, c in cons.items()
+                           if c.get("mode", "enforce") == "enforce"
+                           and (counts[n] or 0) > 0}
+            if enforce_bad:
+                if persisted:
+                    s_cached.unpersist()
+                elif stage_dir is not None:
+                    shutil.rmtree(stage_dir, ignore_errors=True)
+                raise ConstraintViolation(enforce_bad)
+            q_exprs = [c["expr"] for c in cons.values()
+                       if c.get("mode", "enforce") == "quarantine"]
+            quarantined = sum(counts[n] or 0 for n, c in cons.items()
+                              if c.get("mode", "enforce") == "quarantine")
+            if quarantined:
+                # stage-then-publish like the changefeed: the locked
+                # commit renames this under the FINAL batch id (api
+                # ids may be re-allocated there), so concurrent
+                # writers never clobber each other's quarantine and a
+                # crash leaves only an invisible .stage_* orphan
+                passes_q = reduce(lambda a, b: a & b, map(_passes, q_exprs))
+                quarantine_stage = os.path.join(
+                    self.root, DEAD_LETTER_DIR, "constraints",
+                    f".stage_{uuid.uuid4().hex[:8]}")
+                (s.filter(~passes_q)
+                 .drop("_bucket", "_deleted")
+                 .write.mode("overwrite").parquet(quarantine_stage))
+                s = s.filter(passes_q).alias("s")
 
         # --- touched buckets only (partition pruning by construction) ---
         if fresh:
@@ -771,7 +892,7 @@ class LocalCowTable:
             if stage_dir is not None:
                 shutil.rmtree(stage_dir, ignore_errors=True)
             elif persisted:
-                s.unpersist()
+                s_cached.unpersist()
         if touched is None:
             touched = sorted(
                 int(d.split("=", 1)[1]) for d in os.listdir(tmp) if d.startswith("_bucket=")
@@ -815,10 +936,12 @@ class LocalCowTable:
         try:
             batch_id = self._commit_merge(
                 man, scope, batch_id, touched, tmp, schema, ledger_entry,
-                api_alloc, feed_stage)
+                api_alloc, feed_stage, quarantine_stage)
         except BaseException:
-            if feed_stage:  # unpublished stage: remove, nothing committed
-                shutil.rmtree(feed_stage, ignore_errors=True)
+            # unpublished stages: remove, nothing committed
+            for stg in (feed_stage, quarantine_stage):
+                if stg:
+                    shutil.rmtree(stg, ignore_errors=True)
             raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -838,12 +961,14 @@ class LocalCowTable:
             offset_min=m["off_min"],
             offset_max=m["off_max"],
             wall_ms=int((time.monotonic() - t0) * 1000),
+            rows_quarantined=int(quarantined),
         )
 
     def _commit_merge(self, base_man: dict, scope: str, batch_id: int,
                       touched: list[int], tmp: str, schema: T.StructType,
                       ledger_entry: dict, api_alloc: bool,
-                      feed_stage: str | None) -> int | None:
+                      feed_stage: str | None,
+                      quarantine_stage: str | None = None) -> int | None:
         """The locked commit: validate against the CURRENT manifest,
         rebase, rename the written files into data/, publish the
         changefeed stage, swap the manifest.  Pure metadata + renames —
@@ -929,6 +1054,14 @@ class LocalCowTable:
                     shutil.rmtree(final_dir)
                 os.makedirs(feed_base, exist_ok=True)
                 os.replace(feed_stage, final_dir)
+            if quarantine_stage is not None and os.path.isdir(quarantine_stage):
+                q_base = os.path.join(self.root, DEAD_LETTER_DIR, "constraints",
+                                      f"scope={self._scope_tag(scope)}")
+                q_dir = os.path.join(q_base, f"batch={batch_id}")
+                if os.path.isdir(q_dir):  # torn-merge orphan from a crash retry
+                    shutil.rmtree(q_dir)
+                os.makedirs(q_base, exist_ok=True)
+                os.replace(quarantine_stage, q_dir)
             cur["version"] = ver
             cur["schema"] = sj
             cur["buckets"] = new_buckets
@@ -1169,6 +1302,82 @@ class LocalCowTable:
             if man.get("changefeed_consumers", {}).pop(name, None) is not None:
                 man["version"] += 1
                 self._write_manifest(man)
+
+    # ---------------- CHECK constraints (round 5) ----------------
+    # Delta-style table invariants as a data-quality gate on every
+    # write path (ingest, replay, upsert — they all go through
+    # merge()).  ANSI CHECK null semantics: NULL passes; deletes are
+    # exempt (their payload is nulled by construction).  Two modes:
+    #   enforce     — a violating batch raises ConstraintViolation
+    #                 before anything is written (Delta's invariant
+    #                 shape; right for correctness invariants);
+    #   quarantine  — violating rows are routed to the dead-letter
+    #                 sink (_deadletter/constraints/scope=/batch=) and
+    #                 the rest of the batch applies, counted in
+    #                 MergeStats.rows_quarantined (right for dirty
+    #                 upstream feeds where one bad producer must not
+    #                 stall ingestion).
+    # Cost: one extra aggregation over the PERSISTED net-change frame
+    # per batch — not a second pipeline pass (merge() disables the
+    # fresh single-pass path when constraints exist so the frame is
+    # always materialized first).
+
+    def add_check_constraint(self, name: str, expr: str,
+                             mode: str = "enforce",
+                             validate: bool = True) -> None:
+        """Add a named CHECK constraint (SQL boolean expression over
+        data/key columns).  With validate=True (default) EXISTING live
+        rows are checked first and a violation raises — Delta's ADD
+        CONSTRAINT contract — re-validated under version-CAS if a
+        concurrent commit lands mid-validation."""
+        if mode not in ("enforce", "quarantine"):
+            raise ValueError(f"mode must be enforce|quarantine, got {mode!r}")
+        for _attempt in range(self.COMMIT_RETRIES):
+            man = self._load()
+            v0 = man["version"]
+            if name in man.get("check_constraints", {}):
+                raise ValueError(f"constraint {name!r} already exists")
+            if man.get("schema"):
+                if validate:
+                    bad = self.snapshot().filter(
+                        ~F.coalesce(F.expr(expr), F.lit(True))).count()
+                    if bad:
+                        raise ConstraintViolation({name: bad})
+                else:
+                    # analysis only: parse errors / unknown columns
+                    # fail here, not at the next merge
+                    self.snapshot().limit(0).filter(expr).count()
+            with self._commit_lock():
+                man2 = self._load()
+                if man2["version"] != v0:
+                    continue  # state moved — revalidate against it
+                man2.setdefault("check_constraints", {})[name] = {
+                    "expr": expr, "mode": mode}
+                man2["version"] += 1
+                self._write_manifest(man2)
+                return
+        raise CommitConflict(
+            f"add_check_constraint({name!r}): table kept changing during "
+            f"validation ({self.COMMIT_RETRIES} attempts)")
+
+    def drop_check_constraint(self, name: str) -> None:
+        with self._commit_lock():
+            man = self._load()
+            if man.get("check_constraints", {}).pop(name, None) is None:
+                raise ValueError(f"no such constraint {name!r}")
+            man["version"] += 1
+            self._write_manifest(man)
+
+    def check_constraints(self) -> dict:
+        """Registered constraints -> {"expr": sql, "mode": ...}."""
+        return {n: dict(c) for n, c in
+                self._load().get("check_constraints", {}).items()}
+
+    def quarantined(self) -> DataFrame:
+        """Rows routed to the constraint dead-letter sink, all scopes
+        and batches (Hive-partitioned by (scope, batch) for pruning)."""
+        return self.spark.read.parquet(
+            os.path.join(self.root, DEAD_LETTER_DIR, "constraints"))
 
     def expire_changefeed(self, keep_last_batches: int | None = None,
                           through_batch: int | None = None,

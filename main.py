@@ -8,6 +8,8 @@ Commands:
   ingest   --log DIR --table DIR --checkpoint DIR       streaming ingest (C1..C14)
   snapshot --table DIR [--limit N] [--as-of V]          stable-order snapshot (C16)
   history  --table DIR [--at-ts T | --current-only]     SCD2 row-version history
+  tag      add|drop|list --table DIR [--name N]         pin time-travel versions
+  constraint add|drop|list|quarantined --table DIR      CHECK constraints
   compact  --table DIR [--drop-tombstones]              file compaction (C17)
   rescale  --table DIR --n-buckets N                    online bucket-count change
   mirror   --upstream DIR --table DIR [--n-buckets N]   sync a changefeed replica
@@ -95,8 +97,17 @@ def main() -> None:
     s = sub.add_parser("snapshot")
     s.add_argument("--table", required=True)
     s.add_argument("--limit", type=int, default=20)
-    s.add_argument("--as-of", type=int, default=None,
-                   help="time-travel to a retained table version")
+    s.add_argument("--as-of", type=lambda v: int(v) if v.lstrip("-").isdigit() else v,
+                   default=None,
+                   help="time-travel to a retained table version (int) "
+                        "or a snapshot tag name")
+
+    tg = sub.add_parser("tag", help="named pins on time-travel versions")
+    tg.add_argument("action", choices=["add", "drop", "list"])
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", default=None)
+    tg.add_argument("--version", type=int, default=None,
+                    help="version to pin (default: current)")
 
     hi = sub.add_parser("history", help="SCD2 row-version history derived "
                                         "from the changefeed (needs the full "
@@ -108,6 +119,20 @@ def main() -> None:
                          "that point instead of the version rows")
     hi.add_argument("--current-only", action="store_true",
                     help="only open, live versions (== snapshot)")
+
+    cn = sub.add_parser("constraint", help="CHECK constraints (data-quality "
+                                           "gate on every write path)")
+    cn.add_argument("action", choices=["add", "drop", "list", "quarantined"])
+    cn.add_argument("--table", required=True)
+    cn.add_argument("--name", default=None)
+    cn.add_argument("--expr", default=None,
+                    help="SQL boolean over data/key columns, e.g. "
+                         "\"text IS NOT NULL AND turn_idx >= 0\"")
+    cn.add_argument("--mode", choices=["enforce", "quarantine"],
+                    default="enforce")
+    cn.add_argument("--no-validate", action="store_true",
+                    help="skip validating existing rows on add")
+    cn.add_argument("--limit", type=int, default=20)
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
@@ -247,6 +272,22 @@ def main() -> None:
 
         t = LocalCowTable(spark, args.table)
         t.snapshot(as_of=args.as_of).show(args.limit, truncate=40)
+    elif args.cmd == "tag":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        if args.action == "add":
+            if not args.name:
+                raise SystemExit("tag add needs --name")
+            v = t.tag_snapshot(args.name, version=args.version)
+            print(json.dumps({"tagged": args.name, "version": v}))
+        elif args.action == "drop":
+            if not args.name:
+                raise SystemExit("tag drop needs --name")
+            t.drop_tag(args.name)
+            print(json.dumps({"dropped": args.name}))
+        else:
+            print(json.dumps(t.tags()))
     elif args.cmd == "history":
         from dipper_spark.plans.history import state_at
         from dipper_spark.plans.target import LocalCowTable
@@ -258,6 +299,26 @@ def main() -> None:
             h = h.filter("is_current")
         h.orderBy("conv_id", "turn_idx", "effective_from_ts",
                   "effective_from_lsn").show(args.limit, truncate=40)
+    elif args.cmd == "constraint":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        if args.action == "add":
+            if not (args.name and args.expr):
+                raise SystemExit("constraint add needs --name and --expr")
+            t.add_check_constraint(args.name, args.expr, mode=args.mode,
+                                   validate=not args.no_validate)
+            print(json.dumps({"added": args.name, "mode": args.mode}))
+        elif args.action == "drop":
+            if not args.name:
+                raise SystemExit("constraint drop needs --name")
+            t.drop_check_constraint(args.name)
+            print(json.dumps({"dropped": args.name}))
+        elif args.action == "list":
+            print(json.dumps(t.check_constraints()))
+        else:
+            t.quarantined().orderBy("scope", "batch").show(
+                args.limit, truncate=40)
     elif args.cmd == "compact":
         from dipper_spark.plans.target import LocalCowTable
 

@@ -88,3 +88,44 @@ def test_time_travel_off_by_default(spark, tmp_path):
     assert table.versions() == [table._load()["version"]]
     with pytest.raises(FileNotFoundError):
         table.snapshot(as_of=1).count()
+
+
+# ---------------- snapshot tags (round 5) ----------------
+
+def test_tag_pins_version_across_expire(spark, tmp_path):
+    table, stats = _chunked_table(spark, tmp_path, time_travel=True)
+    v_mid = table.versions()[1]
+    want = state_hash(table.snapshot(as_of=v_mid).toPandas())
+    table.tag_snapshot("release-1", version=v_mid)
+    assert table.tags() == {"release-1": v_mid}
+    # expire keeps the tagged version (and its files) alive
+    out = table.expire_snapshots(keep_last=1)
+    assert v_mid in out["kept_versions"]
+    assert state_hash(table.snapshot(as_of=v_mid).toPandas()) == want
+    # tag name works wherever as_of takes a version
+    assert state_hash(table.snapshot(as_of="release-1").toPandas()) == want
+    # dropping the tag releases it on the next expire
+    table.drop_tag("release-1")
+    out = table.expire_snapshots(keep_last=1)
+    assert v_mid not in out["kept_versions"]
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(as_of=v_mid).count()
+
+
+def test_tag_validation(spark, tmp_path):
+    table, stats = _chunked_table(spark, tmp_path, time_travel=True)
+    table.tag_snapshot("t1")  # defaults to current
+    # pins the version current at call time (the tag op itself bumps)
+    assert table.tags()["t1"] == table.versions()[-1] - 1
+    with pytest.raises(ValueError, match="already exists"):
+        table.tag_snapshot("t1")
+    with pytest.raises(FileNotFoundError):
+        table.tag_snapshot("nope", version=99999)
+    with pytest.raises(ValueError, match="no such tag"):
+        table.snapshot(as_of="missing").count()
+    with pytest.raises(ValueError, match="no such tag"):
+        table.drop_tag("missing")
+    # non-time-travel tables refuse tags
+    t2, _ = _chunked_table(spark, tmp_path.joinpath("x2"),)
+    with pytest.raises(ValueError, match="time_travel"):
+        t2.tag_snapshot("t")
