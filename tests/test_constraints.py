@@ -138,3 +138,11 @@ def test_concurrent_add_constraint_retries_or_conflicts(spark, tmp_path):
     t.add_check_constraint("len2", "length(text) = 2")
     t._load = orig
     assert "len2" in t.check_constraints()
+
+
+def test_quarantined_empty_when_nothing_routed(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.quarantined().count() == 0  # no dir yet -> empty frame
+    t.upsert(spark.createDataFrame([_row("e", 0, "x")], ROWS))
+    q = t.quarantined()
+    assert q.count() == 0 and {"scope", "batch", "_op_ts", "_lsn"} <= set(q.columns)

@@ -191,3 +191,41 @@ def test_consumer_state_consistent_across_compact_and_expire(spark, tmp_path):
     snap = {(r["conv_id"], r["turn_idx"]): r["text"]
             for r in table.snapshot().collect()}
     assert state == snap
+
+
+def test_vacuum_sweeps_only_stale_crash_debris(spark, tmp_path):
+    """vacuum(): _tmp_b*/_stage_b* at the root and .stage_* under
+    _changes/ and _deadletter/constraints/ older than the TTL go;
+    young dirs (an in-flight writer) and all live state stay."""
+    import os
+    import time
+
+    from dipper_spark.plans.target import LocalCowTable
+    from dipper_spark.testkit.gen import ChangelogSpec, gen_changelog
+    from dipper_spark.plans.replay import replay
+    from dipper_spark.testkit.oracle import state_hash
+
+    gen_changelog(str(tmp_path / "log"),
+                  ChangelogSpec(seed=91, n_conv=30, extra_rate=1.2))
+    table, _ = replay(spark, str(tmp_path / "log"), str(tmp_path / "tbl"),
+                      changefeed=True)
+    before = state_hash(table.snapshot().toPandas())
+    old = time.time() - 7200
+    stale = [os.path.join(table.root, "_tmp_b9_deadbeef"),
+             os.path.join(table.root, "_stage_b9_deadbeef"),
+             os.path.join(table.root, "_changes", ".stage_deadbeef"),
+             os.path.join(table.root, "_deadletter", "constraints",
+                          ".stage_deadbeef")]
+    young = os.path.join(table.root, "_tmp_b10_cafebabe")
+    for d in stale + [young]:
+        os.makedirs(d)
+        open(os.path.join(d, "x.parquet"), "w").write("junk")
+    for d in stale:
+        os.utime(d, (old, old))
+    out = table.vacuum(ttl_seconds=3600)
+    assert len(out["swept"]) == 4
+    assert not any(os.path.exists(d) for d in stale)
+    assert os.path.exists(young)  # under TTL: an in-flight writer
+    # live state untouched
+    assert state_hash(table.snapshot().toPandas()) == before
+    assert table.changefeed().count() > 0
