@@ -400,3 +400,66 @@ def cdc_check_constraints(spark, d):
         "enforce_atomic_reject boolean, "
         "quarantine_routes_and_applies boolean, "
         "ansi_nulls_deletes_addtime boolean")
+
+
+@q("cdc_merge_on_read", """
+SELECT CAST(1 AS BOOLEAN) AS mor_replay_matches_oracle,
+       CAST(1 AS BOOLEAN) AS appends_never_rewrite_base,
+       CAST(1 AS BOOLEAN) AS compact_folds_deltas_invariant
+""")
+def cdc_merge_on_read(spark, d):
+    """Merge-on-read write-mode contract (round 5, beyond-survey —
+    plans/target.py write_mode='mor'): (a) a chunked MoR replay of a
+    corrupted delivery (dups, reorder, deletes) resolves at read to
+    EXACTLY the pandas oracle's final state — same LWW (ts, lsn) rule
+    as CoW, applied at read instead of write; (b) MoR merges APPEND
+    delta files and never rewrite base buckets (the manifest's base
+    file lists are byte-identical across an upsert), and a stale
+    append (older ts/lsn) or an equal-(ts, lsn) later re-append can
+    never flip the resolved winner — CoW strict-guard parity; (c)
+    compact() folds all deltas into base (delta count drops to 0)
+    with a state-hash-invariant snapshot."""
+    import pandas as pd
+
+    from ..testkit.oracle import apply_log_pandas, state_hash
+
+    work = tempfile.mkdtemp(prefix=f"dipper_morq_{uuid.uuid4().hex[:6]}_")
+    from ..plans.replay import replay
+    from ..testkit.gen import ChangelogSpec, gen_changelog
+
+    logical, _ = gen_changelog(
+        os.path.join(work, "log"),
+        ChangelogSpec(seed=104, n_conv=40, extra_rate=1.5, dup_rate=0.1,
+                      max_disorder_s=3600))
+    table, stats = replay(spark, os.path.join(work, "log"),
+                          os.path.join(work, "tbl"),
+                          chunk_lsn=120, write_mode="mor")
+    oracle_hash = state_hash(apply_log_pandas(logical))
+    deltas_grew = table.delta_file_count() > 0 and len(stats) > 2
+    a_ok = deltas_grew and _state_hash_hex(table) == oracle_hash
+
+    base_before = dict(table._load()["buckets"])
+    ts_new = dt.datetime(2027, 9, 2)
+    table.upsert(spark.createDataFrame(
+        [("morq-k", 0, "user", "new", ts_new)], ROWS))
+    base_unchanged = table._load()["buckets"] == base_before
+    # stale append (older ts) then an equal-(ts, lsn) re-append: the
+    # resolved winner must stay "new" both times
+    table.upsert(spark.createDataFrame(
+        [("morq-k", 0, "user", "stale", dt.datetime(2027, 9, 1))], ROWS))
+    stale_loses = table.lookup("morq-k", 0).first()["text"] == "new"
+    table.upsert(spark.createDataFrame(
+        [("morq-k", 0, "user", "new", ts_new)], ROWS))  # identical (ts,lsn)
+    post_tie = table.lookup("morq-k", 0).toPandas()
+    tie_stable = len(post_tie) == 1 and post_tie["text"][0] == "new"
+    b_ok = base_unchanged and stale_loses and tie_stable
+
+    pre = _state_hash_hex(table)
+    table.compact()
+    c_ok = table.delta_file_count() == 0 and _state_hash_hex(table) == pre
+
+    return spark.createDataFrame(
+        [(a_ok, b_ok, c_ok)],
+        "mor_replay_matches_oracle boolean, "
+        "appends_never_rewrite_base boolean, "
+        "compact_folds_deltas_invariant boolean")

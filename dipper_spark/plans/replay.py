@@ -52,6 +52,7 @@ def replay(
     dead_letter: bool = False,
     changefeed: bool = False,
     time_travel: bool = False,
+    write_mode: str = "cow",
 ) -> tuple[LocalCowTable, list[MergeStats]]:
     """Replay the full log; returns (table, per-batch merge stats).
 
@@ -69,7 +70,8 @@ def replay(
 
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets,
                                  changefeed=changefeed,
-                                 time_travel=time_travel)
+                                 time_travel=time_travel,
+                                 write_mode=write_mode)
     raw = read_changelog(spark, log_path)
     decoded = decode_payload(raw)
     if not lineage:

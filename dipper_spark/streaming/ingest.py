@@ -164,6 +164,7 @@ def ingest(
     max_chunks_per_trigger: int | None = None,
     changefeed: bool = False,
     time_travel: bool = False,
+    write_mode: str = "cow",
 ) -> tuple[LocalCowTable, "object", list[MergeStats]]:
     """Run the ingest stream; with available_now=True processes the
     current log to completion and returns (table, query, stats).
@@ -180,7 +181,8 @@ def ingest(
     pipeline and exactly-once layering either way."""
     table = LocalCowTable.create(spark, table_root, n_buckets=n_buckets,
                                  changefeed=changefeed,
-                                 time_travel=time_travel)
+                                 time_travel=time_travel,
+                                 write_mode=write_mode)
     if source == "binlog":
         stream = binlog_stream(spark, log_path, checkpoint, max_chunks_per_trigger)
     else:

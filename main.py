@@ -73,6 +73,9 @@ def main() -> None:
                    help="emit row-level changes under <table>/_changes (CDC out)")
     r.add_argument("--time-travel", action="store_true",
                    help="retain per-commit manifests for snapshot --as-of")
+    r.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+                   help="cow: rewrite touched buckets per merge; mor: append "
+                        "delta files, resolve at read, fold via compact")
 
     i = sub.add_parser("ingest")
     i.add_argument("--log", required=True)
@@ -94,6 +97,9 @@ def main() -> None:
                    help="emit row-level changes under <table>/_changes (CDC out)")
     i.add_argument("--time-travel", action="store_true",
                    help="retain per-commit manifests for snapshot --as-of")
+    i.add_argument("--write-mode", choices=["cow", "mor"], default="cow",
+                   help="cow: rewrite touched buckets per merge; mor: append "
+                        "delta files, resolve at read, fold via compact")
 
     s = sub.add_parser("snapshot")
     s.add_argument("--table", required=True)
@@ -251,7 +257,8 @@ def main() -> None:
                               n_buckets=args.n_buckets, chunk_lsn=args.chunk_lsn,
                               collapse=args.collapse, dead_letter=args.dead_letter,
                               changefeed=args.changefeed,
-                              time_travel=args.time_travel)
+                              time_travel=args.time_travel,
+                              write_mode=args.write_mode)
         for st in stats:
             print(json.dumps(st.__dict__))
         print(json.dumps({"final_rows": table.snapshot().count()}))
@@ -268,6 +275,7 @@ def main() -> None:
             max_chunks_per_trigger=args.max_chunks_per_trigger,
             changefeed=args.changefeed,
             time_travel=args.time_travel,
+            write_mode=args.write_mode,
         )
         if args.continuous:
             query.awaitTermination()
