@@ -107,6 +107,7 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 # DuckDB compare — 99/99 green).
 PRIORITY = [
     # (a) new round-5 contracts
+    "cdc_changelog_between",
     "cdc_merge_on_read",
     "cdc_concurrent_writers",
     "cdc_feed_retention",
@@ -166,12 +167,12 @@ PRIORITY = [
     "text_langid_heuristic",
     "stream_binlog_tail",
     "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
     "multimodal_decode_meta",
-    # multimodal_frame_sample ceded its slot to cdc_merge_on_read (the
-    # third-wave round-5 surface): the window stays ⊆ the r4-unsampled
-    # set (every slot above was NOT in the r4 window), and
-    # multimodal_frame_sample (green r3, code untouched since) remains
+    # multimodal_frame_sample and dedup_embedding_cosine ceded their
+    # slots to cdc_merge_on_read and cdc_changelog_between (the
+    # third-wave round-5 surfaces): the window stays ⊆ the
+    # r4-unsampled set (every slot above was NOT in the r4 window),
+    # and both ceding queries (green r3, code untouched since) remain
     # continuously verified by the all-query local gate.
     "multimodal_frame_sample",
 ]

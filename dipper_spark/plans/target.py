@@ -2056,6 +2056,156 @@ class LocalCowTable:
         return r.option("basePath", os.path.join(self.root, "_changes")).parquet(
             os.path.join(self.root, "_changes"))
 
+    # ---------------- snapshot-diff changelog (round 5) ----------------
+    # CDC OUT for tables that did NOT pre-enable the write-time
+    # changefeed — in particular MoR tables, whose merges never read
+    # the target and so cannot classify I/U or capture a before-image
+    # at write time.  Iceberg has the same split: write-time feeds vs
+    # the after-the-fact `create_changelog_view` procedure that diffs
+    # snapshots.  This is that procedure: net row-level changes between
+    # two RETAINED table versions, derived purely from manifests +
+    # data files, same column shape as changefeed() (minus scope/batch,
+    # plus commit_version under granularity='commit').
+
+    def changelog_between(self, from_version: int | str,
+                          to_version: int | str | None = None,
+                          granularity: str = "net") -> DataFrame:
+        """Net row-level changes between two retained versions
+        (time_travel tables; version ints or tag names).
+
+        Net contract, judged purely by endpoint states:
+          * key live at `to` but absent/dead at `from`  -> I
+          * key live at both with a newer (ts, lsn) at `to` -> U
+            (before = the `from` live values)
+          * key live at `from` but dead/absent at `to`  -> D
+            (before = the `from` live values; data columns null)
+          * unchanged keys, and dead->dead keys, emit nothing.
+        change_ts/change_lsn are the `to`-side winner's (null only for
+        the compact(drop_tombstones)-erased-tombstone D edge, where the
+        deleting event's identity is gone by design).
+
+        granularity='commit' instead emits one net diff per RETAINED
+        consecutive version pair in the range, each tagged with
+        `commit_version` — per-commit resolution exactly as fine as
+        snapshot retention (expired intermediates coarsen the steps,
+        they never corrupt them).
+
+        Scale: the manifest diff prunes the read to TOUCHED buckets
+        (file-list inequality — driver-side metadata only), and when
+        the range is pure delta appends (the MoR steady state: base
+        file lists identical, delta lists append-only) both snapshot
+        reads are further pruned to the NEW delta files' keys via a
+        broadcast semi-join — the diff then reads O(changed keys)
+        from each endpoint, never the table.  One key-hash shuffle
+        pair for the full-outer diff; no driver-side row work."""
+        if granularity not in ("net", "commit"):
+            raise ValueError(f"granularity must be 'net' or 'commit', got {granularity!r}")
+        man_b = (self._load() if to_version is None
+                 else self._load_as_of(self._resolve_as_of(to_version)))
+        man_a = self._load_as_of(self._resolve_as_of(from_version))
+        if man_a["version"] > man_b["version"]:
+            raise ValueError(
+                f"from_version v{man_a['version']} is newer than "
+                f"to_version v{man_b['version']}")
+        if granularity == "net":
+            return self._changelog_net(man_a, man_b)
+        vs = [v for v in self.versions()
+              if man_a["version"] <= v <= man_b["version"]]
+        parts = []
+        for va, vb in zip(vs, vs[1:]):
+            step = self._changelog_net(self._load_as_of(va), self._load_as_of(vb))
+            parts.append(step.withColumn("commit_version", F.lit(vb).cast("int")))
+        if not parts:
+            empty = self._changelog_net(man_a, man_a)
+            return empty.withColumn("commit_version", F.lit(None).cast("int"))
+        return reduce(DataFrame.unionAll, parts)
+
+    def _changelog_net(self, man_a: dict, man_b: dict) -> DataFrame:
+        schema = (T.StructType.fromJson(man_b["schema"]) if man_b["schema"]
+                  else None)
+        data_cols = ([f.name for f in schema.fields
+                      if f.name not in KEY_COLUMNS
+                      and f.name not in {x.name for x in SYSTEM_FIELDS}]
+                     if schema else [])
+        out_fields = (
+            ([T.StructField(k, schema[k].dataType, False) for k in KEY_COLUMNS]
+             if schema else
+             [T.StructField("conv_id", T.StringType(), False),
+              T.StructField("turn_idx", T.LongType(), False)])
+            + [T.StructField("change_op", T.StringType(), False)]
+            + ([T.StructField(c, schema[c].dataType, True) for c in data_cols])
+            + [T.StructField("before", T.StructType(
+                   [T.StructField(c, schema[c].dataType, True) for c in data_cols]), True),
+               T.StructField("change_ts", T.TimestampType(), True),
+               T.StructField("change_lsn", T.LongType(), True)]
+        )
+        out_schema = T.StructType(out_fields)
+        if schema is None or man_a["version"] == man_b["version"]:
+            return self.spark.createDataFrame([], out_schema)
+
+        # ---- driver-side manifest diff: touched buckets + fast path ----
+        same_layout = (man_a["n_buckets"] == man_b["n_buckets"]
+                       and self._fmt(man_a) == self._fmt(man_b))
+        da, db = man_a.get("deltas", {}), man_b.get("deltas", {})
+        if same_layout:
+            touched = sorted(
+                b for b in range(man_b["n_buckets"])
+                if man_a["buckets"].get(str(b), []) != man_b["buckets"].get(str(b), [])
+                or da.get(str(b), []) != db.get(str(b), []))
+            if not touched:
+                return self.spark.createDataFrame([], out_schema)
+            base_same = all(
+                man_a["buckets"].get(str(b), []) == man_b["buckets"].get(str(b), [])
+                for b in touched)
+            appended = all(
+                db.get(str(b), [])[:len(da.get(str(b), []))] == da.get(str(b), [])
+                for b in touched)
+        else:
+            touched = None  # rescale in range: diff everything
+            base_same = appended = False
+
+        keys_df = None
+        if base_same and appended:
+            # pure delta-append range: changed keys ⊆ the new delta
+            # files' keys — one key-column-pruned scan of the (small)
+            # new deltas, broadcast as a semi filter on both endpoints
+            new = [e for b in touched
+                   for e in db.get(str(b), [])[len(da.get(str(b), [])):]]
+            key_schema = T.StructType([T.StructField(k, schema[k].dataType, False)
+                                       for k in KEY_COLUMNS])
+            paths = [os.path.join(self.root, e[0]) for e in new]
+            keys_df = (self.spark.read.schema(key_schema).parquet(*paths)
+                       .distinct())
+
+        a = self._read_resolved(man_a, schema, touched).alias("a")
+        b = self._read_resolved(man_b, schema, touched).alias("b")
+        if keys_df is not None:
+            a = a.join(F.broadcast(keys_df), on=list(KEY_COLUMNS), how="left_semi").alias("a")
+            b = b.join(F.broadcast(keys_df), on=list(KEY_COLUMNS), how="left_semi").alias("b")
+
+        j = a.join(b, on=[F.col(f"a.{k}") == F.col(f"b.{k}") for k in KEY_COLUMNS],
+                   how="full_outer")
+        has_a, has_b = F.col("a._lsn").isNotNull(), F.col("b._lsn").isNotNull()
+        live_a = has_a & ~F.coalesce(F.col("a._deleted"), F.lit(False))
+        live_b = has_b & ~F.coalesce(F.col("b._deleted"), F.lit(False))
+        newer_b = has_b & (~has_a | (
+            F.struct(F.col("b._op_ts"), F.col("b._lsn"))
+            > F.struct(F.col("a._op_ts"), F.col("a._lsn"))))
+        op = (F.when(live_b & ~live_a, F.lit("I"))
+               .when(live_b & live_a & newer_b, F.lit("U"))
+               .when(~live_b & live_a, F.lit("D")))
+        before = F.when(live_a, F.struct(
+            *[F.col(f"a.{c}").alias(c) for c in data_cols]))
+        return (j.select(
+                    *[F.coalesce(F.col(f"b.{k}"), F.col(f"a.{k}")).alias(k)
+                      for k in KEY_COLUMNS],
+                    op.alias("change_op"),
+                    *[F.col(f"b.{c}").alias(c) for c in data_cols],
+                    before.alias("before"),
+                    F.col("b._op_ts").alias("change_ts"),
+                    F.col("b._lsn").alias("change_lsn"))
+                .filter(F.col("change_op").isNotNull()))
+
     # ---------------- maintenance (op C17) ----------------
     def compact(self, drop_tombstones: bool = False) -> int:
         """Rewrite every bucket into a single fresh file (CoW merge churn

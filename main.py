@@ -15,6 +15,7 @@ Commands:
   rescale  --table DIR --n-buckets N                    online bucket-count change
   mirror   --upstream DIR --table DIR [--n-buckets N]   sync a changefeed replica
   lineage  --table DIR                                  show lineage records
+  changelog --table DIR --from V [--to V]               snapshot-diff changelog
   versions --table DIR                                  retained time-travel versions
   expire   --table DIR [--keep-last K]                  reclaim time-travel space
   consumers --table DIR                                 changefeed consumer group
@@ -163,6 +164,19 @@ def main() -> None:
     ch.add_argument("--since-batch", type=int, default=None)
     ch.add_argument("--limit", type=int, default=20)
 
+    cl = sub.add_parser("changelog", help="snapshot-diff changelog between two "
+                                          "retained versions (CDC out without a "
+                                          "write-time changefeed — works on MoR)")
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--from", dest="from_v", required=True,
+                    type=lambda v: int(v) if v.lstrip("-").isdigit() else v,
+                    help="from version int or tag name")
+    cl.add_argument("--to", dest="to_v", default=None,
+                    type=lambda v: int(v) if v.lstrip("-").isdigit() else v,
+                    help="to version int or tag (default: current)")
+    cl.add_argument("--granularity", choices=["net", "commit"], default="net")
+    cl.add_argument("--limit", type=int, default=20)
+
     v = sub.add_parser("versions", help="retained time-travel versions")
     v.add_argument("--table", required=True)
 
@@ -286,6 +300,13 @@ def main() -> None:
 
         t = LocalCowTable(spark, args.table)
         t.snapshot(as_of=args.as_of).show(args.limit, truncate=40)
+    elif args.cmd == "changelog":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        df = t.changelog_between(args.from_v, args.to_v,
+                                 granularity=args.granularity)
+        df.orderBy("conv_id", "turn_idx").show(args.limit, truncate=40)
     elif args.cmd == "tag":
         from dipper_spark.plans.target import LocalCowTable
 
