@@ -541,3 +541,82 @@ def cdc_changelog_between(spark, d):
         "net_diff_replays_to_target boolean, "
         "mor_cdc_without_write_time_feed boolean, "
         "per_commit_steps_match_versions boolean")
+
+
+@q("cdc_changelog_consumers", """
+SELECT CAST(1 AS BOOLEAN) AS view_tracks_mor_table,
+       CAST(1 AS BOOLEAN) AS mirror_tracks_mor_upstream,
+       CAST(1 AS BOOLEAN) AS retention_pin_and_bootstrap
+""")
+def cdc_changelog_consumers(spark, d):
+    """Changelog-sourced consumer contract (round 5, beyond-survey —
+    plans/ivm.py + plans/mirror.py source='changelog'): the incremental
+    consumer stack runs against MoR tables (no write-time feed) by
+    consuming the snapshot-diff changelog.  (a) an IncrementalView
+    refreshed across MoR upserts/deletes equals a full recompute
+    (SUM + AVG + MIN/MAX with rescan-on-retraction); (b) a MirrorTable
+    synced via version diffs equals the upstream snapshot and re-syncs
+    to a no-op; (c) the consumer's snapshot-tag pin holds its synced
+    version across expire_snapshots(keep_last=1), and after losing
+    history a consumer recovers via bootstrap() (for the mirror: the
+    ghost purge makes a post-drop-tombstones bootstrap converge)."""
+    import pandas as pd
+
+    from ..plans.ivm import IncrementalView
+    from ..plans.mirror import MirrorTable
+    from ..plans.target import ChangefeedExpiredError
+    from ..testkit.oracle import state_hash
+
+    work = tempfile.mkdtemp(prefix=f"dipper_ccq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=109, chunk_lsn=200,
+                         write_mode="mor", time_travel=True)
+
+    def pdf(df):
+        p = df.toPandas()
+        return p.sort_values(list(p.columns), ignore_index=True)
+
+    view = IncrementalView(
+        spark, table, os.path.join(work, "view"), group_cols=["role"],
+        aggs={"turns": "1"}, avgs={"avg_chars": "length(text)"},
+        extrema={"max_turn": ("max", "turn_idx")},
+        source="changelog", consumer_name="q-view")
+    view.refresh()
+    table.upsert(spark.createDataFrame(
+        [("ccq-k", 42, "user", "x" * 30, dt.datetime(2027, 7, 1))], ROWS))
+    table.delete_where("conv_id = 'ccq-k'")  # retraction of a max witness
+    view.refresh()
+    a_ok = pdf(view.read()).equals(pdf(view.full_recompute()))
+
+    m = MirrorTable.create(spark, table.root, os.path.join(work, "replica"),
+                           n_buckets=8, source="changelog",
+                           consumer_name="q-mirror")
+    m.sync()
+    table.upsert(spark.createDataFrame(
+        [("ccq-k2", 0, "user", "v", dt.datetime(2027, 7, 2))], ROWS))
+    r2 = m.sync()
+    b_ok = (not r2["noop"] and m.sync()["noop"]
+            and state_hash(m.snapshot().toPandas())
+            == state_hash(table.snapshot().toPandas()))
+
+    synced = int(m._meta()["version"])
+    table.upsert(spark.createDataFrame(
+        [("ccq-k3", 0, "user", "w", dt.datetime(2027, 7, 3))], ROWS))
+    table.expire_snapshots(keep_last=1)
+    pin_held = synced in table.versions()
+    table.delete_where("turn_idx = 1")
+    table.compact(drop_tombstones=True)
+    try:
+        m.sync()
+        refused = False
+    except ChangefeedExpiredError:
+        refused = True
+    m.bootstrap()
+    c_ok = (pin_held and refused
+            and state_hash(m.snapshot().toPandas())
+            == state_hash(table.snapshot().toPandas()))
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "view_tracks_mor_table boolean, "
+        "mirror_tracks_mor_upstream boolean, "
+        "retention_pin_and_bootstrap boolean")

@@ -145,15 +145,29 @@ class IncrementalView:
                  group_cols: list[str], aggs: dict[str, str],
                  avgs: dict[str, str] | None = None,
                  extrema: dict[str, tuple[str, str]] | None = None,
-                 consumer_name: str | None = None):
+                 consumer_name: str | None = None,
+                 source: str = "changefeed"):
+        """source='changefeed' (default) consumes the write-time feed;
+        source='changelog' consumes the snapshot-diff changelog between
+        retained versions (time_travel tables, ANY write mode — the
+        consumer path for MoR tables, which cannot emit a write-time
+        feed).  The delta rule is identical: the net changelog carries
+        the same change_op/before shape, and net changes give the same
+        SUM/COUNT/AVG deltas because the rule is linear."""
+        if source not in ("changefeed", "changelog"):
+            raise ValueError(f"source must be 'changefeed' or 'changelog', got {source!r}")
         self.spark, self.table, self.root = spark, table, root
+        self.source = source
         # consumer_name: register this view in the table's changefeed
         # consumer group — each refresh acks its consumed watermark, so
         # expire_changefeed(keep_consumed=True) never expires batches
-        # the view still needs (see target.py "consumer groups")
+        # the view still needs (see target.py "consumer groups").  For
+        # changelog views the analog is a snapshot TAG pinned to the
+        # last-synced version (moved after each refresh), which
+        # expire_snapshots honors — same never-expire-what-a-consumer-
+        # still-needs contract, on version retention instead of feed
+        # retention.
         self.consumer_name = consumer_name
-        if consumer_name:
-            table.register_consumer(consumer_name)
         self.group_cols, self.aggs = list(group_cols), dict(aggs)
         self.avgs, self.extrema = dict(avgs or {}), dict(extrema or {})
         for name, (kind, _e) in self.extrema.items():
@@ -164,6 +178,17 @@ class IncrementalView:
         if bad or len(set(names)) != len(names):
             raise ValueError(f"agg names collide: {bad or names}")
         os.makedirs(root, exist_ok=True)
+        if consumer_name and source == "changefeed":
+            table.register_consumer(consumer_name)
+        elif consumer_name:
+            # hold the oldest still-retained version until the first
+            # refresh/bootstrap moves the pin (the pre-registered-
+            # consumer-holds-everything analog)
+            if self._meta().get("version") is None:
+                table.move_tag(self._pin_tag(), table.versions()[0])
+
+    def _pin_tag(self) -> str:
+        return f"consumer/{self.consumer_name}"
 
     # hidden storage columns for the AVG pairs
     def _avg_cols(self, name: str) -> tuple[str, str]:
@@ -328,6 +353,8 @@ class IncrementalView:
         atomically; a crash in between leaves the old view plus an
         orphan view_* dir, which the NEXT refresh sweeps (uuid dir
         names are never reused, so the sweep is the only GC)."""
+        if self.source == "changelog":
+            return self._refresh_changelog()
         self._sweep_orphans()
         meta = self._meta()
         pending = self._pending(meta["consumed"])
@@ -356,6 +383,21 @@ class IncrementalView:
         changes = (self.spark.read.option("mergeSchema", "true")
                    .option("basePath", base).parquet(*dirs))
         old = self._read_stored() if meta["current"] is not None else None
+        merged, rescanned = self._fold_changes(changes, old)
+
+        old_rel = meta["current"]
+        for tag, batches in pending:
+            meta["consumed"][tag] = self._mark_consumed(
+                meta["consumed"].get(tag), batches)
+        self._publish(merged, meta, old_rel)
+        self._ack(meta)
+        return {"consumed": dict(pending), "rescanned_groups": rescanned,
+                "noop": False}
+
+    def _fold_changes(self, changes: DataFrame,
+                      old: DataFrame | None) -> tuple[DataFrame, int]:
+        """Fold one batch of change rows (feed or changelog — same
+        change_op/before shape) into the stored view frame."""
         sums = self._delta(changes)
         names = self._sum_names()
         base = sums if old is None else (
@@ -382,21 +424,99 @@ class IncrementalView:
             # extrema (ext covers changed ∪ old-view groups, so the
             # left join below always finds a row for surviving groups)
             merged = merged.join(ext_final, on=self.group_cols, how="left")
-        merged = merged.select(*self.group_cols, *names, *list(self.extrema))
+        return merged.select(*self.group_cols, *names, *list(self.extrema)), rescanned
 
+    def _publish(self, merged: DataFrame, meta: dict, old_rel: str | None) -> None:
+        """Write the new view frame, swap the meta pointer atomically,
+        drop the superseded frame.  Caller mutates meta's watermark
+        fields BEFORE calling (the swap commits view + watermark
+        together)."""
         new_rel = f"view_{uuid.uuid4().hex[:8]}.parquet"
         merged.write.mode("overwrite").parquet(os.path.join(self.root, new_rel))
-        old_rel = meta["current"]
-        for tag, batches in pending:
-            meta["consumed"][tag] = self._mark_consumed(
-                meta["consumed"].get(tag), batches)
         meta["current"] = new_rel
         self._write_meta(meta)
-        self._ack(meta)
         if old_rel:
             shutil.rmtree(os.path.join(self.root, old_rel), ignore_errors=True)
-        return {"consumed": dict(pending), "rescanned_groups": rescanned,
-                "noop": False}
+
+    # ---------------- changelog-sourced refresh (round 5) ----------------
+    def _refresh_changelog(self) -> dict:
+        """Refresh a source='changelog' view: diff the table between
+        the last-synced retained version and the current one and fold
+        the net changes.  Net deltas give identical SUM/COUNT/AVG
+        results because the delta rule is linear; extrema use the same
+        plus-fold + rescan-on-retraction.  The first refresh diffs
+        from v0 (all-inserts) unless bootstrap() seeded the view.
+
+        Retention: an expired `from` version surfaces as
+        ChangefeedExpiredError (the consumer fell behind snapshot
+        retention) — re-seed with bootstrap().  A consumer_name holds
+        a snapshot tag on the last-synced version, so
+        expire_snapshots never creates that hole."""
+        self._sweep_orphans()
+        meta = self._meta()
+        cur = int(self.table._load()["version"])
+        synced = meta.get("version")
+        frm = 0 if synced is None else int(synced)
+        if frm == cur:
+            return {"from_version": frm, "to_version": cur,
+                    "rescanned_groups": 0, "noop": True}
+        try:
+            man_a = self.table._load_as_of(frm)
+        except FileNotFoundError as e:
+            raise ChangefeedExpiredError(
+                f"table version {frm} expired before this view consumed it "
+                f"(retained: {self.table.versions()}) — the view can no "
+                "longer be maintained incrementally; re-seed it with "
+                "bootstrap()") from e
+        if type(self.table).same_data(man_a, self.table._load_as_of(cur)):
+            # metadata-only range (tags/acks/DDL): fast-forward, no job
+            meta["version"] = cur
+            self._write_meta(meta)
+            return {"from_version": frm, "to_version": cur,
+                    "rescanned_groups": 0, "noop": True}
+        changes = self.table.changelog_between(frm, cur)
+        old = self._read_stored() if meta["current"] is not None else None
+        merged, rescanned = self._fold_changes(changes, old)
+        old_rel = meta["current"]
+        meta["version"] = cur
+        self._publish(merged, meta, old_rel)
+        if self.consumer_name:
+            self.table.move_tag(self._pin_tag(), cur)
+        return {"from_version": frm, "to_version": cur,
+                "rescanned_groups": rescanned, "noop": False}
+
+    def bootstrap(self) -> dict:
+        """Seed a source='changelog' view from the CURRENT table state
+        (one full recompute) and fast-forward the version watermark —
+        for views created after snapshot retention already expired the
+        history their first refresh would diff over.  The version is
+        read BEFORE the recompute scans, so a concurrent commit is at
+        worst re-folded by the next refresh as a net no-op diff."""
+        if self.source != "changelog":
+            raise ValueError("bootstrap() applies to source='changelog' views "
+                             "(changefeed views re-seed by rebuilding the feed)")
+        meta = self._meta()
+        cur = int(self.table._load()["version"])
+        merged = self._recompute_stored()
+        old_rel = meta["current"]
+        meta["version"] = cur
+        self._publish(merged, meta, old_rel)
+        if self.consumer_name:
+            self.table.move_tag(self._pin_tag(), cur)
+        return {"bootstrapped": True, "version": cur}
+
+    def _recompute_stored(self) -> DataFrame:
+        """full_recompute in STORED shape (hidden AVG pairs, no
+        ratios) — the bootstrap seed frame."""
+        snap = self.table.read().filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        exprs = self._sum_exprs()
+        rows = snap.select(
+            *self.group_cols, *[e.alias(n) for n, e in exprs.items()],
+            *[F.expr(e).cast("long").alias(n) for n, (_k, e) in self.extrema.items()])
+        return rows.groupBy(*self.group_cols).agg(
+            *[F.sum(n).alias(n) for n in exprs],
+            *[(F.min(n) if k == "min" else F.max(n)).alias(n)
+              for n, (k, _e) in self.extrema.items()])
 
     def _ack(self, meta: dict) -> None:
         """Publish this view's consumed hwm into the table's consumer

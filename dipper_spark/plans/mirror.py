@@ -44,7 +44,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ivm import consumed_parts, mark_consumed, pending_feed_batches
-from .target import KEY_COLUMNS, SYSTEM_FIELDS, CommitConflict, LocalCowTable
+from .target import (
+    KEY_COLUMNS,
+    SYSTEM_FIELDS,
+    ChangefeedExpiredError,
+    CommitConflict,
+    LocalCowTable,
+)
 
 _FEED_META = {"change_op", "before", "change_ts", "change_lsn", "scope", "batch"}
 
@@ -106,36 +112,69 @@ class MirrorTable:
     META = "_mirror.json"
 
     def __init__(self, spark: SparkSession, upstream_root: str, root: str,
-                 consumer_name: str | None = None):
+                 consumer_name: str | None = None,
+                 source: str = "changefeed"):
+        """source='changefeed' (default) tails the upstream's write-time
+        feed; source='changelog' diffs retained upstream versions via
+        the snapshot-diff changelog (time_travel upstreams, ANY write
+        mode — the replication path for MoR upstreams, which cannot
+        emit a write-time feed)."""
+        if source not in ("changefeed", "changelog"):
+            raise ValueError(f"source must be 'changefeed' or 'changelog', got {source!r}")
         self.spark = spark
         self.up = LocalCowTable(spark, upstream_root)
         self.down = LocalCowTable(spark, root)
         self.root = root
+        self.source = source
         # consumer_name: register in the upstream's changefeed consumer
         # group — each sync/bootstrap acks, so
         # expire_changefeed(keep_consumed=True) never expires batches
         # this mirror still needs (a lagging mirror HOLDS retention
-        # instead of being forced into a re-bootstrap)
+        # instead of being forced into a re-bootstrap).  Changelog
+        # mirrors pin a snapshot TAG on the last-synced upstream
+        # version instead — expire_snapshots honors tags, so the same
+        # a-lagging-consumer-holds-retention contract applies to
+        # version retention.
         self.consumer_name = consumer_name
-        if consumer_name:
+        if consumer_name and source == "changefeed":
             self.up.register_consumer(consumer_name)
+        elif consumer_name and self._read_meta_or_none() is None:
+            self.up.move_tag(self._pin_tag(), self.up.versions()[0])
+
+    def _pin_tag(self) -> str:
+        return f"consumer/{self.consumer_name}"
+
+    def _read_meta_or_none(self) -> dict | None:
+        try:
+            return self._meta()
+        except FileNotFoundError:
+            return None
 
     # ---------------- lifecycle ----------------
     @classmethod
     def create(cls, spark: SparkSession, upstream_root: str, root: str,
                n_buckets: int = 32, changefeed: bool = False,
                time_travel: bool = False,
-               consumer_name: str | None = None) -> "MirrorTable":
+               consumer_name: str | None = None,
+               source: str = "changefeed") -> "MirrorTable":
         if not os.path.exists(os.path.join(upstream_root, LocalCowTable.MANIFEST)):
             raise FileNotFoundError(f"upstream table {upstream_root} does not exist")
         up_man = LocalCowTable(spark, upstream_root)._load()
-        if not up_man.get("changefeed"):
+        if source == "changelog":
+            if not up_man.get("time_travel"):
+                raise ValueError(
+                    f"upstream {upstream_root} was not created with "
+                    "time_travel=True — a changelog mirror diffs retained "
+                    "versions; without them use a changefeed upstream")
+        elif not up_man.get("changefeed"):
             raise ValueError(
                 f"upstream {upstream_root} was not created with changefeed=True — "
-                "a mirror replicates the feed, not the base files")
+                "a mirror replicates the feed, not the base files "
+                "(or use source='changelog' on a time_travel upstream)")
         LocalCowTable.create(spark, root, n_buckets=n_buckets,
                              changefeed=changefeed, time_travel=time_travel)
-        m = cls(spark, upstream_root, root, consumer_name=consumer_name)
+        m = cls(spark, upstream_root, root, consumer_name=consumer_name,
+                source=source)
         if not os.path.exists(m._meta_path()):
             m._write_meta({"upstream": upstream_root, "consumed": {}})
         return m
@@ -161,6 +200,8 @@ class MirrorTable:
         cross-tag ordering is irrelevant because the (ts, lsn) guard
         makes merge application order-independent.  The consumed
         watermark is advanced per tag AFTER its merge commits."""
+        if self.source == "changelog":
+            return self._sync_changelog()
         meta = self._meta()
         pending = pending_feed_batches(self.up, meta["consumed"], consumer="mirror")
         if not pending:
@@ -186,11 +227,72 @@ class MirrorTable:
         """Publish consumed hwms into the upstream consumer group (a
         crash before the ack only under-reports — retention stays
         conservative, never unsafe)."""
-        if self.consumer_name:
-            self.up.ack_consumer(
-                self.consumer_name,
-                {tag: consumed_parts(e)[0]
-                 for tag, e in meta["consumed"].items()})
+        if not self.consumer_name:
+            return
+        if self.source == "changelog":
+            if meta.get("version") is not None:
+                self.up.move_tag(self._pin_tag(), int(meta["version"]))
+            return
+        self.up.ack_consumer(
+            self.consumer_name,
+            {tag: consumed_parts(e)[0]
+             for tag, e in meta["consumed"].items()})
+
+    # ---------------- sync via snapshot-diff changelog (round 5) ----------
+    def _sync_changelog(self) -> dict:
+        """Replicate by diffing the upstream between the last-synced
+        retained version and the current one (source='changelog' — the
+        MoR-upstream path).  The net changes convert to the same
+        collapsed-event shape the feed path merges, with the
+        deterministic identity (scope 'mirror/changelog', batch_id =
+        to-version): a crash between merge commit and watermark write
+        re-runs as a ledger skip, and a wider re-diff re-applies net
+        rows as (ts, lsn) no-ops — the same three exactly-once layers.
+
+        Two loud edges, both resolved by bootstrap():
+          * the `from` version expired (fell behind snapshot
+            retention; a consumer_name pin prevents this);
+          * upstream compact(drop_tombstones=True) inside the window
+            erased a delete's (ts, lsn) identity — without it the
+            tombstone could not beat a staler resurrection downstream,
+            so the mirror refuses rather than risking divergence."""
+        meta = self._meta()
+        cur = int(self.up._load()["version"])
+        synced = meta.get("version")
+        frm = 0 if synced is None else int(synced)
+        if frm == cur:
+            return {"from_version": frm, "to_version": cur, "merges": 0,
+                    "noop": True}
+        try:
+            man_a = self.up._load_as_of(frm)
+        except FileNotFoundError as e:
+            raise ChangefeedExpiredError(
+                f"upstream version {frm} expired before this mirror synced "
+                f"it (retained: {self.up.versions()}) — re-seed with "
+                "bootstrap()") from e
+        if LocalCowTable.same_data(man_a, self.up._load_as_of(cur)):
+            # metadata-only range (tags/acks/DDL): fast-forward, no job
+            meta["version"] = cur
+            self._write_meta(meta)
+            self._ack(meta)
+            return {"from_version": frm, "to_version": cur, "merges": 0,
+                    "noop": True}
+        ch = self.up.changelog_between(frm, cur)
+        ev, data_cols = _feed_to_events(ch)
+        lost = ev.filter(F.col("is_delete") & F.col("lsn").isNull()).count()
+        if lost:
+            raise ChangefeedExpiredError(
+                f"{lost} delete(s) in upstream versions ({frm}, {cur}] lost "
+                "their (ts, lsn) identity to compact(drop_tombstones=True) — "
+                "a changelog mirror cannot order them against later "
+                "resurrections; re-seed with bootstrap()")
+        collapsed = _collapse_events(ev, data_cols)
+        self._merge_retrying(collapsed, batch_id=cur, scope="mirror/changelog")
+        meta["version"] = cur
+        self._write_meta(meta)
+        self._ack(meta)
+        return {"from_version": frm, "to_version": cur, "merges": 1,
+                "noop": False}
 
     # ---------------- bootstrap (snapshot seed) ----------------
     def bootstrap(self) -> dict:
@@ -204,6 +306,11 @@ class MirrorTable:
         (the manifest swap publishes feed and data atomically).  A
         commit landing between the listing and the snapshot read is
         re-applied by the next sync() — a (ts, lsn)-guarded no-op."""
+        # changelog mirrors: the version watermark plays the role the
+        # feed listing plays below — captured BEFORE the snapshot read
+        # for the same reason (a commit in between is re-applied by the
+        # next sync as a (ts, lsn) no-op, never skipped)
+        cur = int(self.up._load()["version"])
         base = os.path.join(self.up.root, "_changes")
         listed: dict[str, list[int]] = {}
         if os.path.isdir(base):
@@ -231,6 +338,30 @@ class MirrorTable:
             F.coalesce(F.col("_deleted"), F.lit(False)).alias("is_delete"),
         ).withColumn("n_events", F.lit(1).cast("long")) \
          .withColumn("n_unique", F.lit(1).cast("long"))
+        # GHOST PURGE: replica rows whose key is absent from the
+        # upstream snapshot entirely — the upstream deleted them AND
+        # erased the tombstone (compact(drop_tombstones=True)), so no
+        # event in `ev` can remove them.  Synthesize a tombstone per
+        # ghost at (its own ts, lsn + 1): strictly newer than the stale
+        # row (the guard applies it) by the MINIMAL margin, so any
+        # genuinely newer upstream event still wins.  Empty on a fresh
+        # replica; one key-column anti-join otherwise.
+        if self.down._load()["schema"] is not None:
+            mine = self.down.read(include_system=True)
+            ghosts = (mine.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                      .join(snap.select(*KEY_COLUMNS),
+                            on=list(KEY_COLUMNS), how="left_anti"))
+            purge = ghosts.select(
+                *KEY_COLUMNS,
+                *[F.lit(None).cast(snap.schema[c].dataType).alias(c)
+                  for c in data_cols],
+                F.col("_op_ts").alias("ts"),
+                (F.col("_lsn") + F.lit(1)).cast("long").alias("lsn"),
+                F.lit(True).alias("is_delete"),
+                F.lit(1).cast("long").alias("n_events"),
+                F.lit(1).cast("long").alias("n_unique"),
+            )
+            ev = ev.unionByName(purge)
         # batch_id=None: every bootstrap gets a FRESH ledger identity.
         # A fixed id would make a SECOND bootstrap (mirror fell behind
         # retention again) ledger-skip the snapshot merge while the
@@ -244,9 +375,13 @@ class MirrorTable:
             hwm0, extra0 = consumed_parts(meta["consumed"].get(tag))
             seed = {"hwm": max(hwm0, lo - 1), "extra": sorted(extra0)}
             meta["consumed"][tag] = mark_consumed(seed, listed.get(tag, []))
+        if self.source == "changelog":
+            meta["version"] = max(cur, int(meta.get("version") or 0))
         self._write_meta(meta)
         self._ack(meta)
-        return {"bootstrapped": True, "consumed": listed}
+        return {"bootstrapped": True, "consumed": listed,
+                **({"version": meta["version"]}
+                   if self.source == "changelog" else {})}
 
     def _merge_retrying(self, collapsed: DataFrame, batch_id: int | None,
                         scope: str) -> None:

@@ -649,6 +649,36 @@ class LocalCowTable:
             man["version"] += 1
             self._write_manifest(man)
 
+    def move_tag(self, name: str, version: int | None = None) -> int:
+        """Create-or-move a tag in ONE locked commit (no expire can
+        slip between a drop and a re-add).  The changelog-consumer
+        retention pin: IncrementalView/MirrorTable with
+        source='changelog' re-point their tag to the version they just
+        synced, so expire_snapshots never reclaims the `from` side of
+        their next diff — the snapshot-retention analog of changefeed
+        consumer groups.
+
+        Deliberately does NOT bump the table version: a tag is reader
+        bookkeeping, not data state, and a version-bumping pin would
+        ratchet — every consumer ack would create a new version for
+        the next ack to diff over, so consumers could never converge
+        to a no-op.  (tag_snapshot/drop_tag keep their bump: they are
+        explicit user commits, and an extra retained version there is
+        harmless.)  Concurrent optimistic writers are unaffected — the
+        commit CAS validates schema/layout/buckets, none of which a
+        tag touches, and the write happens under the same lock."""
+        with self._commit_lock():
+            man = self._load()
+            if not man.get("time_travel"):
+                raise ValueError("tags need a time_travel=True table "
+                                 "(nothing is retained to pin otherwise)")
+            v = man["version"] if version is None else int(version)
+            if v != man["version"]:
+                self._load_as_of(v)  # raises if not retained
+            man.setdefault("tags", {})[name] = v
+            self._write_manifest(man)
+            return v
+
     def tags(self) -> dict:
         """Registered tags -> pinned version int."""
         return dict(self._load().get("tags", {}))
@@ -2119,6 +2149,18 @@ class LocalCowTable:
             empty = self._changelog_net(man_a, man_a)
             return empty.withColumn("commit_version", F.lit(None).cast("int"))
         return reduce(DataFrame.unionAll, parts)
+
+    @staticmethod
+    def same_data(man_a: dict, man_b: dict) -> bool:
+        """True when two manifests reference identical data (layout,
+        base file lists, delta lists) — the range between them is
+        metadata-only (tags, acks, constraint DDL) and its changelog
+        is empty by construction.  Driver-side dict compares only;
+        consumers use this to fast-forward watermarks without a job."""
+        return (man_a["n_buckets"] == man_b["n_buckets"]
+                and LocalCowTable._fmt(man_a) == LocalCowTable._fmt(man_b)
+                and man_a["buckets"] == man_b["buckets"]
+                and man_a.get("deltas", {}) == man_b.get("deltas", {}))
 
     def _changelog_net(self, man_a: dict, man_b: dict) -> DataFrame:
         schema = (T.StructType.fromJson(man_b["schema"]) if man_b["schema"]

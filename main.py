@@ -205,6 +205,10 @@ def main() -> None:
     mi.add_argument("--consumer-name", default=None,
                     help="register in the upstream consumer group (holds "
                          "keep-consumed retention while this mirror lags)")
+    mi.add_argument("--source", choices=["changefeed", "changelog"],
+                    default="changefeed",
+                    help="changelog: diff retained upstream versions instead "
+                         "of tailing the write-time feed (MoR upstreams)")
 
     u = sub.add_parser("upsert", help="Delta-style MERGE of a parquet file")
     u.add_argument("--table", required=True)
@@ -235,6 +239,13 @@ def main() -> None:
     vr.add_argument("--consumer-name", default=None,
                     help="register in the table's consumer group (holds "
                          "keep-consumed retention while this view lags)")
+    vr.add_argument("--source", choices=["changefeed", "changelog"],
+                    default="changefeed",
+                    help="changelog: consume the snapshot-diff changelog "
+                         "instead of the write-time feed (MoR tables)")
+    vr.add_argument("--bootstrap", action="store_true",
+                    help="(changelog views) seed from the current table "
+                         "state when retention expired the diff history")
 
     sub.add_parser("zip")
 
@@ -403,11 +414,13 @@ def main() -> None:
 
         if os.path.exists(os.path.join(args.table, LocalCowTable.MANIFEST)):
             m = MirrorTable(spark, args.upstream, args.table,
-                            consumer_name=args.consumer_name)
+                            consumer_name=args.consumer_name,
+                            source=args.source)
         else:
             m = MirrorTable.create(spark, args.upstream, args.table,
                                    n_buckets=args.n_buckets,
-                                   consumer_name=args.consumer_name)
+                                   consumer_name=args.consumer_name,
+                                   source=args.source)
         out = {}
         if args.bootstrap:
             out["bootstrap"] = m.bootstrap()
@@ -437,8 +450,9 @@ def main() -> None:
                                args.group_by.split(","), aggs,
                                avgs=dict(a.split("=", 1) for a in args.avg),
                                extrema=extrema,
-                               consumer_name=args.consumer_name)
-        out = view.refresh()
+                               consumer_name=args.consumer_name,
+                               source=args.source)
+        out = view.bootstrap() if args.bootstrap else view.refresh()
         print(json.dumps(out))
         view.read().orderBy(*args.group_by.split(",")).show(args.limit, truncate=False)
     spark.stop()
