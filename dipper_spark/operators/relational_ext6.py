@@ -620,3 +620,65 @@ def cdc_changelog_consumers(spark, d):
         "view_tracks_mor_table boolean, "
         "mirror_tracks_mor_upstream boolean, "
         "retention_pin_and_bootstrap boolean")
+
+
+@q("cdc_stats_pruned_lookup", """
+SELECT CAST(1 AS BOOLEAN) AS stats_cover_every_file,
+       CAST(1 AS BOOLEAN) AS bucket_prune_correct_and_partial,
+       CAST(1 AS BOOLEAN) AS delta_conv_range_prunes
+""")
+def cdc_stats_pruned_lookup(spark, d):
+    """Manifest file-statistics contract (round 5, beyond-survey —
+    plans/target.py _file_key_stats/_refresh_stats/_candidate_buckets/
+    _prune_man_by_conv, the Iceberg manifest-stats shape): (a) every
+    committed data/delta file has per-file (conv_id, turn_idx) min/max
+    recorded in the manifest, kept in sync across compaction; (b) a
+    conv-only lookup's candidate bucket set (from the global turn
+    range) is a STRICT subset of the layout, contains every bucket the
+    conv's keys actually hash to, and the pruned lookup returns
+    exactly the snapshot's rows for that conv; (c) a single-conv MoR
+    delta batch is dropped from lookups of other convs by its
+    conv-range (point range), while the touched conv still reads it."""
+    from ..plans.target import LocalCowTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_fsq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=111, chunk_lsn=200,
+                         write_mode="mor", n_buckets=32)
+    man = table._load()
+    rels = [r for r, _s in LocalCowTable._entries(man)]
+    rels += [r for r, _s, _v in LocalCowTable._delta_entries(man)]
+    stats = man.get("file_stats", {})
+    a_ok = bool(rels) and all(r in stats for r in rels)
+    table.compact()
+    man = table._load()
+    a_ok = a_ok and set(man["file_stats"]) == {
+        r for r, _s in LocalCowTable._entries(man)}
+
+    conv = "conv00000003"
+    cands = table._candidate_buckets(man, conv)
+    got = table.lookup(conv).orderBy("turn_idx").toPandas()
+    want = table.snapshot().filter(F.col("conv_id") == conv).orderBy(
+        "turn_idx").toPandas()
+    actual_b = {int(r["b"]) for r in
+                table.read().filter(F.col("conv_id") == conv)
+                .select(table._bucket_expr(man["n_buckets"]).alias("b"))
+                .distinct().collect()}
+    b_ok = (cands is not None and 0 < len(cands) < man["n_buckets"]
+            and actual_b <= set(cands)
+            and got["text"].tolist() == want["text"].tolist()
+            and got["turn_idx"].tolist() == want["turn_idx"].tolist())
+
+    table.upsert(spark.createDataFrame(
+        [(conv, 0, "user", "pointed", dt.datetime(2027, 8, 1))], ROWS))
+    man = table._load()
+    other = table._prune_man_by_conv(man, "conv00000029")
+    mine = table._prune_man_by_conv(man, conv)
+    c_ok = (sum(len(v) for v in other["deltas"].values()) == 0
+            and sum(len(v) for v in mine["deltas"].values()) > 0
+            and table.lookup(conv, 0).first()["text"] == "pointed")
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "stats_cover_every_file boolean, "
+        "bucket_prune_correct_and_partial boolean, "
+        "delta_conv_range_prunes boolean")

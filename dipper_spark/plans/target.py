@@ -771,10 +771,15 @@ class LocalCowTable:
         """Point read with bucket pruning.  With turn_idx given, hashes
         the key to its single bucket and scans ONLY that bucket's files
         — at 100 TB this is a constant-size read instead of a table
-        scan.  Conv-only lookups can't prune (the bucket depends on
-        turn_idx too) and fall back to a filtered full read, where the
-        conv_id predicate still prunes parquet row groups via
-        min/max stats."""
+        scan.  Conv-only lookups prune at PLANNING time via the
+        manifest's per-file key stats: the global turn range bounds
+        the candidate bucket set {bucket(conv, t)} (_candidate_buckets
+        — transcripts have few turns, so this cuts the scan to
+        ~turns/n_buckets of the files), per-file conv_id ranges drop
+        non-covering files (pays on MoR deltas), and the conv_id
+        predicate still prunes parquet row groups inside the
+        survivors.  Files committed before the stats feature are
+        kept, never mis-pruned."""
         man = self._load()
         schema = T.StructType.fromJson(man["schema"]) if man["schema"] else None
         if schema is None:
@@ -789,7 +794,10 @@ class LocalCowTable:
                 (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
             )
         else:
-            df = self.read().filter(F.col("conv_id") == conv_id)
+            df = self._read_resolved(
+                self._prune_man_by_conv(man, conv_id), schema,
+                self._candidate_buckets(man, conv_id)
+            ).filter(F.col("conv_id") == conv_id)
         return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
             *[f.name for f in SYSTEM_FIELDS]
         )
@@ -1429,6 +1437,7 @@ class LocalCowTable:
                 schemas.append(sj)
                 sid = len(schemas) - 1
             new_deltas = {k: list(v) for k, v in cur.get("deltas", {}).items()}
+            new_rels: list[str] = []
             for b in touched:
                 bdir = os.path.join(tmp, f"_bucket={b}")
                 if not os.path.isdir(bdir):
@@ -1438,6 +1447,7 @@ class LocalCowTable:
                         "data", f"d{b:05d}_v{ver}_{i}_{uuid.uuid4().hex[:8]}.parquet")
                     os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
                     new_deltas.setdefault(str(b), []).append([rel, sid, ver])
+                    new_rels.append(rel)
             if quarantine_stage is not None and os.path.isdir(quarantine_stage):
                 q_base = os.path.join(self.root, DEAD_LETTER_DIR, "constraints",
                                       f"scope={self._scope_tag(scope)}")
@@ -1449,6 +1459,7 @@ class LocalCowTable:
             cur["version"] = ver
             cur["schema"] = sj
             cur["deltas"] = new_deltas
+            self._refresh_stats(cur, new_rels)
             cur["ledger"].append(ledger_entry)
             if len(cur["ledger"]) > self.LEDGER_CAP:
                 cur["ledger"] = cur["ledger"][-self.LEDGER_CAP:]
@@ -1535,6 +1546,7 @@ class LocalCowTable:
             new_buckets = dict(cur["buckets"])
             new_deltas = dict(cur.get("deltas", {}))
             replaced: list[str] = []
+            new_rels: list[str] = []
             for b in touched:
                 bdir = os.path.join(tmp, f"_bucket={b}")
                 rels = []
@@ -1546,6 +1558,7 @@ class LocalCowTable:
                             "data", f"b{b:05d}_v{ver}_{i}_{uuid.uuid4().hex[:8]}.parquet")
                         os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
                         rels.append([rel, sid])
+                        new_rels.append(rel)
                 replaced += [e if isinstance(e, str) else e[0]
                              for e in cur["buckets"].get(str(b), [])]
                 # the CoW rewrite read this bucket RESOLVED, so its
@@ -1570,6 +1583,7 @@ class LocalCowTable:
             cur["schema"] = sj
             cur["buckets"] = new_buckets
             cur["deltas"] = new_deltas
+            self._refresh_stats(cur, new_rels)
             cur["ledger"].append(ledger_entry)
             if len(cur["ledger"]) > self.LEDGER_CAP:
                 cur["ledger"] = cur["ledger"][-self.LEDGER_CAP:]
@@ -2150,6 +2164,123 @@ class LocalCowTable:
             return empty.withColumn("commit_version", F.lit(None).cast("int"))
         return reduce(DataFrame.unionAll, parts)
 
+    # ---------------- manifest file statistics (round 5) ----------------
+    # Iceberg manifests carry per-file column bounds so planning can
+    # skip files before any task is scheduled.  Same idea here: each
+    # commit records (min, max) of conv_id per new data file — one
+    # footer read per file, driver-side, inside the commit (on a real
+    # cluster the write tasks report these, like Iceberg's per-task
+    # manifest entries).  Conv-only lookups then prune at PLANNING
+    # time: O(matching files) scan tasks instead of O(all files) —
+    # parquet row-group pushdown still prunes the rows, but only
+    # after a task was scheduled and the footer read per file.
+
+    @staticmethod
+    def _file_key_stats(path: str) -> dict | None:
+        """{'conv': [min, max], 'turn': [min, max]} of the key columns
+        across the file's row groups, from the parquet footer — None
+        when either column's stats are absent (the file is then never
+        pruned; conv ids are short, far below parquet's
+        stats-truncation thresholds)."""
+        try:
+            md = pq.ParquetFile(path).metadata
+            idx = {}
+            for i in range(md.num_columns):
+                n = md.schema.column(i).name
+                if n in ("conv_id", "turn_idx"):
+                    idx[n] = i
+            if len(idx) != 2:
+                return None
+            out = {"conv": [None, None], "turn": [None, None]}
+            for rg in range(md.num_row_groups):
+                for name, key in (("conv_id", "conv"), ("turn_idx", "turn")):
+                    st = md.row_group(rg).column(idx[name]).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn, mx = mn.decode(), mx.decode()
+                    lo, hi = out[key]
+                    out[key] = [mn if lo is None or mn < lo else lo,
+                                mx if hi is None or mx > hi else hi]
+            return None if out["conv"][0] is None else out
+        except Exception:
+            return None  # never fail a commit over a stats read
+
+    def _refresh_stats(self, cur: dict, new_rels: list[str]) -> None:
+        """Record stats for newly committed files and prune entries of
+        files this manifest no longer references (retained older
+        manifests keep their own copies)."""
+        stats = dict(cur.get("file_stats", {}))
+        for rel in new_rels:
+            s = self._file_key_stats(os.path.join(self.root, rel))
+            if s:
+                stats[rel] = s
+        live = {rel for rel, _sid in self._entries(cur)}
+        live |= {rel for rel, _sid, _seq in self._delta_entries(cur)}
+        cur["file_stats"] = {r: v for r, v in stats.items() if r in live}
+
+    def _prune_man_by_conv(self, man: dict, conv_id: str) -> dict:
+        """Manifest copy whose file lists keep only files whose
+        recorded conv_id range covers `conv_id` (files without stats
+        are kept).  Driver-side dict work — no I/O.  On the
+        hash-bucketed base this range is usually wide (hashing mixes
+        convs), so the file-range check mostly pays on small MoR delta
+        files; the big planning win is _candidate_buckets below."""
+        stats = man.get("file_stats", {})
+
+        def keep(rel: str) -> bool:
+            s = stats.get(rel)
+            return s is None or (s["conv"][0] <= conv_id <= s["conv"][1])
+
+        m2 = dict(man)
+        m2["buckets"] = {
+            b: [e for e in fs if keep(e if isinstance(e, str) else e[0])]
+            for b, fs in man["buckets"].items()}
+        m2["deltas"] = {
+            b: [e for e in fs if keep(e[0])]
+            for b, fs in man.get("deltas", {}).items()}
+        return m2
+
+    _TURN_SPAN_CAP = 4096  # enumerable turn range for bucket probing
+
+    def _candidate_buckets(self, man: dict, conv_id: str) -> list[int] | None:
+        """Buckets that can possibly hold ANY (conv_id, t) key — the
+        planning-time prune for conv-only lookups, None = all.
+
+        The layout hashes (conv, turn), so a conv-only predicate can't
+        name one bucket — but transcripts have FEW turns: the manifest
+        stats give the global turn range [lo, hi], and the candidate
+        set {bucket(conv, t) | lo <= t <= hi} is computed with one
+        tiny single-task job over hi-lo+1 rows.  With 1024 buckets and
+        turns 0..31 that's a 32/1024 scan instead of a full pass.
+        Requires stats on EVERY file (an unstatted file could hold any
+        turn) and a bounded span.  v1 layouts hash conv alone — there
+        the conv already names exactly one bucket, no enumeration."""
+        if self._fmt(man) == 1:
+            b = (self.spark.createDataFrame([(conv_id,)], "conv_id string")
+                 .select(self._bucket_expr(man["n_buckets"], 1).alias("b"))
+                 .first()["b"])
+            return [int(b)]
+        stats = man.get("file_stats", {})
+        rels = [rel for rel, _sid in self._entries(man)]
+        rels += [rel for rel, _sid, _seq in self._delta_entries(man)]
+        if not rels:
+            return None
+        if any(rel not in stats for rel in rels):
+            return None
+        lo = min(int(stats[r]["turn"][0]) for r in rels)
+        hi = max(int(stats[r]["turn"][1]) for r in rels)
+        if hi - lo + 1 > self._TURN_SPAN_CAP:
+            return None
+        rows = (self.spark.range(lo, hi + 1)
+                .select(F.lit(conv_id).alias("conv_id"),
+                        F.col("id").alias("turn_idx"))
+                .select(self._bucket_expr(man["n_buckets"], self._fmt(man))
+                        .alias("b"))
+                .distinct().collect())
+        return sorted({int(r["b"]) for r in rows})
+
     @staticmethod
     def same_data(man_a: dict, man_b: dict) -> bool:
         """True when two manifests reference identical data (layout,
@@ -2364,6 +2495,8 @@ class LocalCowTable:
                 cur["deltas"] = {}
                 cur["n_buckets"] = nb  # rescale commits atomically with the layout
                 cur["format_version"] = 2  # v1 tables are fully re-bucketed above
+                self._refresh_stats(
+                    cur, [e[0] for fs in new_buckets.values() for e in fs])
                 self._finish_commit(cur, old)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
