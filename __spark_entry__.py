@@ -107,6 +107,7 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 # DuckDB compare — 99/99 green).
 PRIORITY = [
     # (a) new round-5 contracts
+    "cdc_branch_wap",
     "cdc_stats_pruned_lookup",
     "cdc_changelog_consumers",
     "cdc_changelog_between",
@@ -166,16 +167,17 @@ PRIORITY = [
     "lang_id_heuristic",
     "embedding_cosine_topk",
     "source_rate_stream",
-    "text_langid_heuristic",
     "stream_binlog_tail",
     # multimodal_frame_sample, dedup_embedding_cosine,
-    # multimodal_decode_meta and dedup_cluster_canonical ceded their
-    # slots to cdc_merge_on_read, cdc_changelog_between,
-    # cdc_changelog_consumers and cdc_stats_pruned_lookup (the
-    # third-wave round-5 surfaces): the window stays ⊆ the
-    # r4-unsampled set (every slot above was NOT in the r4 window),
-    # and the ceding queries (green r3, code untouched since) remain
-    # continuously verified by the all-query local gate.
+    # multimodal_decode_meta, dedup_cluster_canonical and
+    # text_langid_heuristic (near-duplicate of lang_id_heuristic,
+    # which stays in the window) ceded their slots to
+    # cdc_merge_on_read, cdc_changelog_between,
+    # cdc_changelog_consumers, cdc_stats_pruned_lookup and
+    # cdc_branch_wap (the third-wave round-5 surfaces): the window
+    # stays ⊆ the r4-unsampled set (every slot above was NOT in the
+    # r4 window), and the ceding queries (green r3, code untouched
+    # since) remain continuously verified by the all-query local gate.
 ]
 
 

@@ -682,3 +682,64 @@ def cdc_stats_pruned_lookup(spark, d):
         "stats_cover_every_file boolean, "
         "bucket_prune_correct_and_partial boolean, "
         "delta_conv_range_prunes boolean")
+
+
+@q("cdc_branch_wap", """
+SELECT CAST(1 AS BOOLEAN) AS staged_invisible_then_published,
+       CAST(1 AS BOOLEAN) AS diverged_main_refuses_fast_forward,
+       CAST(1 AS BOOLEAN) AS branch_files_survive_expire
+""")
+def cdc_branch_wap(spark, d):
+    """Write-audit-publish branch contract (round 5, beyond-survey —
+    plans/target.py create_branch/fast_forward/drop_branch, the Iceberg
+    branch shape): (a) branch writes (upsert + delete through the full
+    merge machinery) are invisible on main until fast_forward publishes
+    them atomically, after which main equals the audited branch
+    snapshot; (b) a main commit after the fork makes fast_forward raise
+    CommitConflict (Iceberg's fast-forward condition) — nothing is
+    half-published; (c) expire_snapshots refcounts live branch
+    manifests (a live branch's files survive keep_last=1), while a
+    dropped branch's private files become reclaimable."""
+    from ..plans.target import CommitConflict, LocalCowTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_bwq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=113, n_buckets=8, time_travel=True)
+
+    before = _state_hash_hex(table)
+    br = table.create_branch("wap")
+    br.upsert(spark.createDataFrame(
+        [("wap-k", 0, "user", "staged", dt.datetime(2027, 9, 1))], ROWS))
+    br.delete_where("turn_idx = 2")
+    invisible = _state_hash_hex(table) == before
+    staged = _state_hash_hex(br)
+    table.fast_forward("wap")
+    a_ok = (invisible and _state_hash_hex(table) == staged
+            and "wap" not in table.branches())
+
+    br2 = table.create_branch("wap2")
+    br2.upsert(spark.createDataFrame(
+        [("wap-k2", 0, "user", "staged2", dt.datetime(2027, 9, 2))], ROWS))
+    table.upsert(spark.createDataFrame(
+        [("main-k", 0, "user", "mainline", dt.datetime(2027, 9, 2))], ROWS))
+    try:
+        table.fast_forward("wap2")
+        b_ok = False
+    except CommitConflict:
+        b_ok = (table.lookup("wap-k2").count() == 0
+                and table.lookup("main-k", 0).first()["text"] == "mainline")
+
+    staged2 = _state_hash_hex(br2)
+    table.expire_snapshots(keep_last=1)
+    live_kept = _state_hash_hex(br2) == staged2
+    data_dir = os.path.join(table.root, "data")
+    n_before = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
+    table.drop_branch("wap2")
+    table.expire_snapshots(keep_last=1)
+    n_after = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
+    c_ok = live_kept and n_after < n_before
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "staged_invisible_then_published boolean, "
+        "diverged_main_refuses_fast_forward boolean, "
+        "branch_files_survive_expire boolean")

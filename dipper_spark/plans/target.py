@@ -153,9 +153,16 @@ class LocalCowTable:
     # the exactly-once story).
     LEDGER_CAP = 512
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, branch: str | None = None):
+        """`branch` opens a handle onto a named branch (see
+        create_branch): reads and writes go to the branch's manifest
+        under _branches/, data files land in the shared data/ dir
+        (uuid names never collide), and nothing is visible on main
+        until fast_forward() publishes — the Iceberg branch / WAP
+        (write-audit-publish) shape."""
         self.spark = spark
         self.root = root
+        self.branch = branch
 
     # ---------------- manifest ----------------
     @classmethod
@@ -239,6 +246,8 @@ class LocalCowTable:
             self._finish_commit(cur, [])
 
     def _manifest_path(self) -> str:
+        if self.branch:
+            return os.path.join(self.root, "_branches", f"{self.branch}.json")
         return os.path.join(self.root, self.MANIFEST)
 
     @staticmethod
@@ -339,7 +348,11 @@ class LocalCowTable:
         FileNotFound-translated CommitConflict and a retry.
         Time-travel tables defer all GC to expire_snapshots()."""
         gc_now: list[str] = []
-        if not cur.get("time_travel"):
+        if not cur.get("time_travel") and not cur.get("branch_name"):
+            # branch commits never GC: a file this branch superseded
+            # may still be referenced by main (or another branch) —
+            # space is reclaimed by expire_snapshots' cross-root
+            # refcount after publish/abandon
             gc_now = list(cur.get("pending_gc", []))
             cur["pending_gc"] = replaced
         self._write_manifest(cur)  # <-- the atomic commit point
@@ -354,7 +367,7 @@ class LocalCowTable:
         with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
         os.replace(tmp, self._manifest_path())  # atomic commit point
-        if man.get("time_travel"):
+        if man.get("time_travel") and not man.get("branch_name"):
             # retained copy for snapshot(as_of=...).  Written AFTER the
             # commit point: a crash in between loses only the as-of
             # alias for this version (current state is never at risk),
@@ -683,6 +696,123 @@ class LocalCowTable:
         """Registered tags -> pinned version int."""
         return dict(self._load().get("tags", {}))
 
+    # ---------------- branches / write-audit-publish (round 5) ----------
+    # Iceberg branch semantics reduced to this manifest model: a branch
+    # is a full manifest copy under _branches/<name>.json recording the
+    # main version it forked from.  A LocalCowTable(root, branch=name)
+    # handle reads and writes THAT manifest — merges, upserts, deletes,
+    # constraints, compaction all work unchanged; data files land in
+    # the shared data/ dir under uuid names, so branch and main writers
+    # never collide on files, and branch commits never GC (a superseded
+    # file may still be referenced by main).  fast_forward() publishes
+    # the branch onto main in one locked commit IF main has not moved
+    # since the fork (Iceberg's fast-forward condition) — the WAP flow:
+    # write to the branch, audit its snapshot, publish or drop it.
+    # Changefeed tables refuse branches: feed emission is a side effect
+    # under _changes/ that consumers would see pre-publish.  The
+    # snapshot-diff changelog composes fine (it diffs published
+    # versions).
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.root, "_branches")
+
+    def _require_main(self, what: str) -> None:
+        if self.branch:
+            raise ValueError(f"{what} must run on the main handle, not "
+                             f"branch {self.branch!r}")
+
+    def create_branch(self, name: str,
+                      from_version: int | str | None = None) -> "LocalCowTable":
+        """Fork a branch from the current version (or a retained
+        `from_version` on time_travel tables) and return a handle onto
+        it.  One locked commit; refuses name collisions."""
+        self._require_main("create_branch")
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad branch name {name!r}")
+        with self._commit_lock():
+            man = self._load()
+            if man.get("changefeed"):
+                raise ValueError(
+                    "changefeed tables cannot branch: branch merges would "
+                    "emit feed batches under _changes/ that consumers see "
+                    "BEFORE publish — use the snapshot-diff changelog for "
+                    "CDC over branch/publish workflows")
+            if not man.get("time_travel"):
+                raise ValueError(
+                    "branches need a time_travel=True table: non-TT main "
+                    "commits GC superseded files after one commit, which "
+                    "would pull shared files out from under a live branch "
+                    "(TT tables defer all GC to the branch-aware "
+                    "expire_snapshots)")
+            src = (man if from_version is None
+                   else self._load_as_of(self._resolve_as_of(from_version)))
+            p = os.path.join(self._branches_dir(), f"{name}.json")
+            if os.path.exists(p):
+                raise ValueError(f"branch {name!r} already exists")
+            br = dict(src)
+            br["branch_name"] = name
+            br["branch_base"] = man["version"]  # publish CAS anchor
+            br.pop("pending_gc", None)  # main's deferred GC is not ours
+            os.makedirs(self._branches_dir(), exist_ok=True)
+            tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(br, f, indent=1)
+            os.replace(tmp, p)
+        return LocalCowTable(self.spark, self.root, branch=name)
+
+    def branches(self) -> dict[str, int]:
+        """branch name -> main version it forked from."""
+        d = self._branches_dir()
+        out = {}
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".json") and not fn.startswith("."):
+                    with open(os.path.join(d, fn)) as f:
+                        out[fn[:-5]] = int(json.load(f).get("branch_base", -1))
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch (its unpublished data files are reclaimed
+        by the next expire_snapshots refcount)."""
+        self._require_main("drop_branch")
+        p = os.path.join(self._branches_dir(), f"{name}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"no such branch {name!r}")
+        os.remove(p)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish branch `name` onto main in one locked commit —
+        succeeds only when main is still AT the branch's fork version
+        (Iceberg's fast-forward condition); a diverged main raises
+        CommitConflict, and the caller re-forks and re-applies (or
+        rebases by re-deriving its writes).  The branch file is
+        removed on publish.  Returns the published main version."""
+        self._require_main("fast_forward")
+        p = os.path.join(self._branches_dir(), f"{name}.json")
+        with self._commit_lock():
+            man = self._load()
+            if not os.path.exists(p):
+                raise ValueError(f"no such branch {name!r}")
+            with open(p) as f:
+                br = json.load(f)
+            if man["version"] != br.get("branch_base"):
+                raise CommitConflict(
+                    f"main moved v{br.get('branch_base')} -> "
+                    f"v{man['version']} since branch {name!r} forked — "
+                    "fast-forward impossible; re-fork and re-apply")
+            new = dict(br)
+            new.pop("branch_name", None)
+            new.pop("branch_base", None)
+            if new["version"] == man["version"]:  # no branch commits
+                os.remove(p)
+                return man["version"]
+            new["pending_gc"] = man.get("pending_gc", [])
+            # _write_manifest targets MAIN on this handle; time_travel
+            # retention applies to the published version as usual
+            self._write_manifest(new)
+            os.remove(p)
+            return new["version"]
+
     def _resolve_as_of(self, as_of: int | str) -> int:
         if isinstance(as_of, str):
             tags = self._load().get("tags", {})
@@ -723,7 +853,12 @@ class LocalCowTable:
         referenced by a retained manifest or provably garbage (a
         superseded version's file, or a crashed commit's orphan) —
         expire can never race a concurrent writer into deleting a
-        file that is about to be committed."""
+        file that is about to be committed.
+
+        Branch-aware: files referenced by ANY live branch manifest are
+        kept — this is also where abandoned/published branches' private
+        files are reclaimed (branch commits themselves never GC)."""
+        self._require_main("expire_snapshots")
         with self._commit_lock():
             man = self._load()
             vd = self._versions_dir()
@@ -741,6 +876,17 @@ class LocalCowTable:
                     live.add(rel)
                 for rel, _sid, _seq in self._delta_entries(m):
                     live.add(rel)
+            bd = self._branches_dir()
+            if os.path.isdir(bd):
+                for fn in os.listdir(bd):
+                    if not fn.endswith(".json") or fn.startswith("."):
+                        continue
+                    with open(os.path.join(bd, fn)) as f:
+                        bm = json.load(f)
+                    for rel, _sid in self._entries(bm):
+                        live.add(rel)
+                    for rel, _sid, _seq in self._delta_entries(bm):
+                        live.add(rel)
             dropped_files = 0
             if os.path.isdir(os.path.join(self.root, "data")):
                 for fn in os.listdir(os.path.join(self.root, "data")):

@@ -9,6 +9,7 @@ Commands:
   snapshot --table DIR [--limit N] [--as-of V]          stable-order snapshot (C16)
   history  --table DIR [--at-ts T | --current-only]     SCD2 row-version history
   tag      add|drop|list --table DIR [--name N]         pin time-travel versions
+  branch   create|drop|list|publish --table DIR          write-audit-publish
   constraint add|drop|list|quarantined --table DIR      CHECK constraints
   vacuum   --table DIR [--ttl-seconds S]                sweep crash debris
   compact  --table DIR [--drop-tombstones]              file compaction (C17)
@@ -104,6 +105,8 @@ def main() -> None:
 
     s = sub.add_parser("snapshot")
     s.add_argument("--table", required=True)
+    s.add_argument("--branch", default=None,
+                   help="operate on a branch instead of main")
     s.add_argument("--limit", type=int, default=20)
     s.add_argument("--as-of", type=lambda v: int(v) if v.lstrip("-").isdigit() else v,
                    default=None,
@@ -177,6 +180,14 @@ def main() -> None:
     cl.add_argument("--granularity", choices=["net", "commit"], default="net")
     cl.add_argument("--limit", type=int, default=20)
 
+    br = sub.add_parser("branch", help="write-audit-publish branches "
+                                       "(Iceberg branch shape)")
+    br.add_argument("action", choices=["create", "drop", "list", "publish"])
+    br.add_argument("--table", required=True)
+    br.add_argument("--name", default=None)
+    br.add_argument("--from-version", type=int, default=None,
+                    help="fork from a retained version (default: current)")
+
     v = sub.add_parser("versions", help="retained time-travel versions")
     v.add_argument("--table", required=True)
 
@@ -212,11 +223,15 @@ def main() -> None:
 
     u = sub.add_parser("upsert", help="Delta-style MERGE of a parquet file")
     u.add_argument("--table", required=True)
+    u.add_argument("--branch", default=None,
+                   help="operate on a branch instead of main")
     u.add_argument("--parquet", required=True,
                    help="parquet with key columns, data columns, event-time ts")
 
     dl = sub.add_parser("delete", help="tombstone live rows matching a predicate")
     dl.add_argument("--table", required=True)
+    dl.add_argument("--branch", default=None,
+                   help="operate on a branch instead of main")
     dl.add_argument("--where", required=True)
 
     vr = sub.add_parser("view-refresh", help="maintain an incremental aggregate view")
@@ -309,7 +324,7 @@ def main() -> None:
     elif args.cmd == "snapshot":
         from dipper_spark.plans.target import LocalCowTable
 
-        t = LocalCowTable(spark, args.table)
+        t = LocalCowTable(spark, args.table, branch=args.branch)
         t.snapshot(as_of=args.as_of).show(args.limit, truncate=40)
     elif args.cmd == "changelog":
         from dipper_spark.plans.target import LocalCowTable
@@ -390,6 +405,28 @@ def main() -> None:
 
         (LocalCowTable(spark, args.table).changefeed(since_batch=args.since_batch)
          .orderBy("batch", "change_lsn").show(args.limit, truncate=False))
+    elif args.cmd == "branch":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        if args.action == "create":
+            if not args.name:
+                raise SystemExit("branch create needs --name")
+            t.create_branch(args.name, from_version=args.from_version)
+            print(json.dumps({"created": args.name,
+                              "base": t.branches()[args.name]}))
+        elif args.action == "drop":
+            if not args.name:
+                raise SystemExit("branch drop needs --name")
+            t.drop_branch(args.name)
+            print(json.dumps({"dropped": args.name}))
+        elif args.action == "publish":
+            if not args.name:
+                raise SystemExit("branch publish needs --name")
+            v = t.fast_forward(args.name)
+            print(json.dumps({"published": args.name, "version": v}))
+        else:
+            print(json.dumps(t.branches()))
     elif args.cmd == "versions":
         from dipper_spark.plans.target import LocalCowTable
 
@@ -429,12 +466,13 @@ def main() -> None:
     elif args.cmd == "upsert":
         from dipper_spark.plans.target import LocalCowTable
 
-        st = LocalCowTable(spark, args.table).upsert(spark.read.parquet(args.parquet))
+        st = LocalCowTable(spark, args.table, branch=args.branch).upsert(
+            spark.read.parquet(args.parquet))
         print(json.dumps(st.__dict__))
     elif args.cmd == "delete":
         from dipper_spark.plans.target import LocalCowTable
 
-        st = LocalCowTable(spark, args.table).delete_where(args.where)
+        st = LocalCowTable(spark, args.table, branch=args.branch).delete_where(args.where)
         print(json.dumps(st.__dict__))
     elif args.cmd == "view-refresh":
         from dipper_spark.plans.ivm import IncrementalView
