@@ -288,3 +288,31 @@ def test_mor_changefeed_rejected(spark, tmp_path):
     t = LocalCowTable.create(spark, str(tmp_path / "t2"), changefeed=True)
     with pytest.raises(ValueError, match="changefeed tables"):
         t.set_write_mode("mor")
+
+
+def test_mor_streaming_ingest_matches_batch(spark, tmp_path):
+    """Structured-Streaming ingest with write_mode='mor' (foreachBatch
+    -> _merge_mor_inner per micro-batch): final state equals the
+    chunked-MoR batch replay and the pandas oracle, deltas accumulate
+    per micro-batch (write-optimized path exercised, not the fresh
+    single-pass backfill), and a checkpointed RESTART over the same
+    log is a ledger-skip no-op."""
+    from dipper_spark.streaming.ingest import ingest
+
+    spec = ChangelogSpec(seed=105, n_conv=40, extra_rate=1.5, dup_rate=0.1)
+    log_dir = str(tmp_path / "log")
+    logical, _ = gen_changelog(log_dir, spec)
+    oracle = state_hash(apply_log_pandas(logical))
+
+    table, _q, stats = ingest(spark, log_dir, str(tmp_path / "tbl"),
+                              str(tmp_path / "ckpt"),
+                              max_files_per_trigger=3, write_mode="mor")
+    assert len(stats) >= 2                      # multiple micro-batches
+    assert table.delta_file_count() > 0         # MoR path, not backfill
+    assert state_hash(table.snapshot().toPandas()) == oracle
+    # restart on the same checkpoint: nothing new, nothing re-applied
+    table2, _q2, stats2 = ingest(spark, log_dir, str(tmp_path / "tbl"),
+                                 str(tmp_path / "ckpt"),
+                                 max_files_per_trigger=3, write_mode="mor")
+    assert all(s.skipped or s.rows_applied == 0 for s in stats2)
+    assert state_hash(table2.snapshot().toPandas()) == oracle
