@@ -743,3 +743,112 @@ def cdc_branch_wap(spark, d):
         "staged_invisible_then_published boolean, "
         "diverged_main_refuses_fast_forward boolean, "
         "branch_files_survive_expire boolean")
+
+
+@q("cdc_rollback", """
+SELECT CAST(1 AS BOOLEAN) AS current_equals_target_version,
+       CAST(1 AS BOOLEAN) AS history_forward_and_reingest_applies,
+       CAST(1 AS BOOLEAN) AS files_survive_expire_after_rollback
+""")
+def cdc_rollback(spark, d):
+    """Rollback contract (round 5, beyond-survey —
+    plans/target.py LocalCowTable.rollback, Iceberg
+    rollback_to_snapshot shape): (a) after rollback(v) the CURRENT
+    snapshot is byte-identical (order-insensitive state hash) to the
+    as-of read of v, via a metadata-only commit; (b) history moves
+    FORWARD — the pre-rollback version stays as-of readable, the
+    restored ledger lets an undone batch re-apply, and scope_seq never
+    rewinds (the post-rollback upsert allocates a fresh batch id); (c)
+    expire_snapshots after the rollback keeps the restored files alive
+    through the current manifest even once the source version's
+    manifest is dropped."""
+    work = tempfile.mkdtemp(prefix=f"dipper_rbq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=117, n_buckets=8,
+                         time_travel=True, chunk_lsn=150)
+    versions = table.versions()
+    v_mid = max(1, versions[-2])  # a non-empty retained mid version
+    mid_hash = _state_hash_hex_asof(table, v_mid)
+    pre_hash = _state_hash_hex(table)
+    pre_v = table._load()["version"]
+
+    new_v = table.rollback(v_mid)
+    a_ok = (new_v == pre_v + 1
+            and _state_hash_hex(table) == mid_hash
+            and mid_hash != pre_hash)
+
+    # forward history + ledger rewind semantics
+    hist_ok = _state_hash_hex_asof(table, pre_v) == pre_hash
+    seq0 = int(table._load().get("scope_seq", {}).get("api", 0))
+    table.upsert(spark.createDataFrame(
+        [("rbq-new", 0, "user", "after-rollback", dt.datetime(2027, 10, 1))],
+        ROWS))
+    reapplied = table.lookup("rbq-new", 0).first()["text"] == "after-rollback"
+    b_ok = (hist_ok and reapplied
+            and int(table._load()["scope_seq"]["api"]) == seq0 + 1)
+
+    table.expire_snapshots(keep_last=1)
+    c_ok = (v_mid not in table.versions()
+            and table.lookup("rbq-new", 0).count() == 1
+            and table.snapshot().count() > 0)
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "current_equals_target_version boolean, "
+        "history_forward_and_reingest_applies boolean, "
+        "files_survive_expire_after_rollback boolean")
+
+
+def _state_hash_hex_asof(table, v: int) -> str:
+    from ..testkit.oracle import state_hash
+
+    return state_hash(table.snapshot(as_of=v).toPandas())
+
+
+@q("cdc_metadata_tables", """
+SELECT CAST(1 AS BOOLEAN) AS files_reconcile_manifest,
+       CAST(1 AS BOOLEAN) AS history_matches_ledger,
+       CAST(1 AS BOOLEAN) AS snapshots_and_refs_consistent
+""")
+def cdc_metadata_tables(spark, d):
+    """Metadata-inspection contract (round 5, beyond-survey —
+    plans/target.py LocalCowTable.inspect, Iceberg metadata-table
+    shape): (a) inspect('files') lists exactly the manifest's live
+    files with positive on-disk sizes and per-file pruning stats; (b)
+    inspect('history') reproduces the commit ledger row-for-row; (c)
+    inspect('snapshots') covers every retained version with exactly
+    one is_current row, and inspect('refs') shows a tag and a branch
+    right after they are created.  All driver-side O(manifest) — the
+    same cost class as Iceberg's manifest-backed metadata tables."""
+    work = tempfile.mkdtemp(prefix=f"dipper_mtq_{uuid.uuid4().hex[:6]}_")
+    table, stats = _mk_table(spark, work, seed=119, n_buckets=8,
+                             time_travel=True, chunk_lsn=150)
+    man = table._load()
+
+    files = table.inspect("files").toPandas()
+    live = {rel for es in man["buckets"].values() for rel, _sid in es}
+    a_ok = (set(files["path"]) == live and (files["bytes"] > 0).all()
+            and set(files["kind"]) == {"base"}
+            and files["conv_min"].notna().all())
+
+    hist = table.inspect("history").toPandas()
+    b_ok = (sorted(hist["batch_id"]) == sorted(e["batch_id"]
+                                               for e in man["ledger"])
+            and hist["rows_applied"].sum()
+                == sum(s.rows_applied for s in stats if not s.skipped))
+
+    vs = table.versions()
+    table.tag_snapshot("audit", vs[-1])
+    br = table.create_branch("stage")  # noqa: F841
+    snaps = table.inspect("snapshots").toPandas()
+    refs = table.inspect("refs").toPandas()
+    c_ok = (sorted(snaps["version"]) == table.versions()
+            and snaps[snaps["is_current"]]["version"].tolist()
+                == [table._load()["version"]]
+            and {(r["name"], r["type"]) for _, r in refs.iterrows()}
+                == {("audit", "tag"), ("stage", "branch")})
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "files_reconcile_manifest boolean, "
+        "history_matches_ledger boolean, "
+        "snapshots_and_refs_consistent boolean")

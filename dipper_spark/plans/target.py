@@ -696,6 +696,101 @@ class LocalCowTable:
         """Registered tags -> pinned version int."""
         return dict(self._load().get("tags", {}))
 
+    # ---------------- metadata inspection tables (round 5) ----------
+    # Iceberg metadata-table shape (SELECT * FROM t.files / t.history /
+    # t.snapshots / t.refs): the manifest rendered as queryable
+    # DataFrames, so operators can join/filter table internals with
+    # plain Spark SQL instead of reading JSON.  Driver-side O(manifest)
+    # — the same cost class as Iceberg's manifest-backed metadata
+    # tables; "files" additionally stats each live file for its size
+    # (O(files) driver-side stat calls — an inspection surface, never
+    # on a query hot path).
+
+    def inspect(self, what: str) -> DataFrame:
+        """Metadata tables: 'files' (live base+delta files with bucket,
+        schema id, byte size and pruning stats), 'history' (the commit
+        ledger — NB trimmed to LEDGER_CAP entries), 'snapshots'
+        (retained versions with layout/file counts and rollback
+        breadcrumbs), 'refs' (tags + branches, Iceberg refs shape),
+        'consumers' (changefeed consumer-group watermarks),
+        'constraints' (CHECK constraints)."""
+        man = self._load()
+        if what == "files":
+            stats = man.get("file_stats", {})
+            rows = []
+            def _row(rel, sid, bucket, kind, seq):
+                p = os.path.join(self.root, rel)
+                try:
+                    nbytes = os.path.getsize(p)
+                except OSError:
+                    nbytes = None
+                st = stats.get(rel) or {}
+                conv = st.get("conv") or [None, None]
+                turn = st.get("turn") or [None, None]
+                return (rel, kind, int(bucket), int(sid) if sid is not None else None,
+                        seq, nbytes, conv[0], conv[1],
+                        int(turn[0]) if turn[0] is not None else None,
+                        int(turn[1]) if turn[1] is not None else None)
+            for b, ents in man.get("buckets", {}).items():
+                for rel, sid in ents:
+                    rows.append(_row(rel, sid, b, "base", None))
+            for b, ents in man.get("deltas", {}).items():
+                for rel, sid, seq in ents:
+                    rows.append(_row(rel, sid, b, "delta", int(seq)))
+            return self.spark.createDataFrame(
+                rows, "path string, kind string, bucket int, schema_id int, "
+                      "commit_version int, bytes long, conv_min string, "
+                      "conv_max string, turn_min long, turn_max long")
+        if what == "history":
+            rows = [(int(e["batch_id"]), e.get("scope", "default"),
+                     int(e["max_lsn"]) if e.get("max_lsn") is not None else None,
+                     int(e.get("rows_applied", 0)), e.get("committed_at"))
+                    for e in man.get("ledger", [])]
+            return self.spark.createDataFrame(
+                rows, "batch_id long, scope string, max_lsn long, "
+                      "rows_applied long, committed_at string")
+        if what == "snapshots":
+            cur = man["version"]
+            rows = []
+            for v in self.versions():
+                try:
+                    m = self._load_as_of(v)
+                except FileNotFoundError:
+                    continue
+                n_files = sum(len(e) for e in m.get("buckets", {}).values())
+                n_deltas = sum(len(e) for e in m.get("deltas", {}).values())
+                rows.append((int(v), v == cur, int(m.get("n_buckets", 0)),
+                             self._fmt(m), self._mode(m), n_files, n_deltas,
+                             len(m.get("schemas", [])),
+                             m.get("rolled_back_to")))
+            return self.spark.createDataFrame(
+                rows, "version long, is_current boolean, n_buckets int, "
+                      "format_version int, write_mode string, file_count long, "
+                      "delta_file_count long, n_schemas int, rolled_back_to long")
+        if what == "refs":
+            rows = [(name, "tag", int(v)) for name, v in
+                    sorted(man.get("tags", {}).items())]
+            rows += [(name, "branch", int(base)) for name, base in
+                     sorted(self.branches().items())]
+            return self.spark.createDataFrame(
+                rows, "name string, type string, version long")
+        if what == "consumers":
+            rows = []
+            for name, ent in sorted(man.get("changefeed_consumers", {}).items()):
+                for scope, batch in sorted((ent or {}).items()):
+                    rows.append((name, scope, int(batch)))
+                if not ent:
+                    rows.append((name, None, None))
+            return self.spark.createDataFrame(
+                rows, "consumer string, scope string, acked_through_batch long")
+        if what == "constraints":
+            rows = [(name, c["expr"], c.get("mode", "enforce"))
+                    for name, c in sorted(man.get("check_constraints", {}).items())]
+            return self.spark.createDataFrame(
+                rows, "name string, expr string, mode string")
+        raise ValueError(f"unknown metadata table {what!r} (files, history, "
+                         "snapshots, refs, consumers, constraints)")
+
     # ---------------- branches / write-audit-publish (round 5) ----------
     # Iceberg branch semantics reduced to this manifest model: a branch
     # is a full manifest copy under _branches/<name>.json recording the
@@ -811,6 +906,64 @@ class LocalCowTable:
             # retention applies to the published version as usual
             self._write_manifest(new)
             os.remove(p)
+            return new["version"]
+
+    def rollback(self, to_version: int | str) -> int:
+        """Reset the table's DATA state to a retained version — as a
+        NEW commit (Iceberg rollback_to_snapshot shape: history only
+        moves forward).  Nothing is rewritten: the new manifest simply
+        references the old version's files, so this is a metadata-only
+        locked commit, O(manifest) at any table size.
+
+        Restored (data state): schema + schema history, bucket/delta
+        file lists and their stats, n_buckets/format_version layout,
+        and the commit LEDGER — the ledger describes which batches the
+        data reflects, so a post-rollback re-send of an un-done batch
+        re-applies (the undo-and-reingest story), while batches inside
+        the restored state still dedupe.  Kept from current
+        (administrative state, Iceberg table-property analog): tags,
+        changefeed consumers, CHECK constraints, write_mode, and the
+        per-scope batch-id sequence — scope_seq never rewinds, so API
+        writers after a rollback can never reuse a batch id.
+
+        Requires time_travel=True (the target must be retained; its
+        files are then guaranteed on disk by the expire refcount, and
+        the rollback commit itself re-pins them).  Changefeed tables
+        refuse: their replay invariant is "the feed reproduces the
+        snapshot", and a rollback would silently break every consumer
+        past the rolled-back batches — undo flows for CDC tables are
+        the snapshot-diff changelog's job (changelog_between diffs any
+        two retained versions, including across a rollback).  Main
+        handle only; branch forks keep their own manifests and their
+        fast-forward CAS sees the rollback as main movement."""
+        self._require_main("rollback")
+        with self._commit_lock():
+            man = self._load()
+            if man.get("changefeed"):
+                raise ValueError(
+                    "changefeed tables cannot rollback: consumers past the "
+                    "rolled-back batches would silently diverge from the "
+                    "snapshot (feed replay no longer reproduces it) — use "
+                    "changelog_between for undo flows, or rebuild consumers "
+                    "via bootstrap()")
+            if not man.get("time_travel"):
+                raise ValueError("rollback needs a time_travel=True table "
+                                 "(the target version must be retained)")
+            v = self._resolve_as_of(to_version)
+            if v == man["version"]:
+                return v  # already there — no empty commit
+            old = self._load_as_of(v)  # raises if not retained
+            new = dict(man)
+            for k in ("schema", "schemas", "buckets", "deltas", "ledger",
+                      "n_buckets", "format_version", "file_stats"):
+                if k in old:
+                    new[k] = old[k]
+                else:
+                    new.pop(k, None)
+            new["version"] = man["version"] + 1
+            new["rolled_back_from"] = man["version"]  # audit breadcrumb
+            new["rolled_back_to"] = v
+            self._finish_commit(new, [])
             return new["version"]
 
     def _resolve_as_of(self, as_of: int | str) -> int:

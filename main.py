@@ -188,6 +188,25 @@ def main() -> None:
     br.add_argument("--from-version", type=int, default=None,
                     help="fork from a retained version (default: current)")
 
+    ins = sub.add_parser("inspect", help="metadata tables (Iceberg shape): "
+                                         "files/history/snapshots/refs/"
+                                         "consumers/constraints")
+    ins.add_argument("--table", required=True)
+    ins.add_argument("--what", required=True,
+                     choices=["files", "history", "snapshots", "refs",
+                              "consumers", "constraints"])
+    ins.add_argument("--branch", default=None,
+                     help="inspect a branch manifest instead of main")
+    ins.add_argument("--limit", type=int, default=50)
+
+    rb = sub.add_parser("rollback", help="reset data state to a retained "
+                                         "version as a NEW commit (Iceberg "
+                                         "rollback_to_snapshot)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to", required=True,
+                    type=lambda v: int(v) if v.lstrip("-").isdigit() else v,
+                    help="retained version int or snapshot tag name")
+
     v = sub.add_parser("versions", help="retained time-travel versions")
     v.add_argument("--table", required=True)
 
@@ -427,6 +446,18 @@ def main() -> None:
             print(json.dumps({"published": args.name, "version": v}))
         else:
             print(json.dumps(t.branches()))
+    elif args.cmd == "inspect":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table, branch=args.branch)
+        t.inspect(args.what).show(args.limit, truncate=False)
+    elif args.cmd == "rollback":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        new_v = t.rollback(args.to)
+        print(json.dumps({"rolled_back_to": t._load().get("rolled_back_to"),
+                          "new_version": new_v}))
     elif args.cmd == "versions":
         from dipper_spark.plans.target import LocalCowTable
 

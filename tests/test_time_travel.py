@@ -129,3 +129,89 @@ def test_tag_validation(spark, tmp_path):
     t2, _ = _chunked_table(spark, tmp_path.joinpath("x2"),)
     with pytest.raises(ValueError, match="time_travel"):
         t2.tag_snapshot("t")
+
+
+def test_rollback_restores_state_as_new_commit(spark, tmp_path):
+    """rollback(v) makes the CURRENT snapshot byte-equal to the as-of
+    read of v, as a new forward-moving version; the pre-rollback state
+    stays as-of readable; re-sending an undone batch re-applies
+    (ledger restored) while scope_seq never rewinds."""
+    table, stats = _chunked_table(spark, tmp_path, time_travel=True)
+    versions = table.versions()
+    v_mid = versions[-2]
+    mid_hash = state_hash(table.snapshot(as_of=v_mid).toPandas())
+    final_v = versions[-1]
+    final_hash = state_hash(table.snapshot().toPandas())
+    assert mid_hash != final_hash
+
+    # burn a scope_seq id before rolling back (the sequence must not rewind)
+    import datetime as dt
+    from pyspark.sql import functions as F  # noqa: F401
+    table.upsert(spark.createDataFrame(
+        [("rb-conv", 0, "user", "pre-rollback", dt.datetime(2027, 1, 1))],
+        "conv_id string, turn_idx long, role string, text string, ts timestamp"))
+    seq_before = dict(table._load().get("scope_seq", {}))
+    v_with_upsert = table._load()["version"]
+
+    new_v = table.rollback(v_mid)
+    assert new_v == v_with_upsert + 1
+    man = table._load()
+    assert man["rolled_back_to"] == v_mid
+    # data state == the rolled-back-to version, exactly
+    assert state_hash(table.snapshot().toPandas()) == mid_hash
+    # the upserted row is gone from current...
+    assert table.lookup("rb-conv", 0).count() == 0
+    # ...but history still has it (rollback never rewrites history)
+    assert state_hash(table.snapshot(as_of=final_v).toPandas()) == final_hash
+    assert table.lookup("rb-conv", 0).count() == 0  # current unchanged
+    # ledger restored: the undone chunk batches re-apply on re-replay
+    undone = [s for s in stats if s.batch_id is not None]
+    ledger_ids = {e["batch_id"] for e in table.ledger()}
+    assert any(s.batch_id not in ledger_ids for s in undone)
+    # scope_seq kept current (monotonic): a fresh upsert allocates a NEW id
+    assert dict(man.get("scope_seq", {})) == seq_before
+    table.upsert(spark.createDataFrame(
+        [("rb-conv2", 0, "user", "post-rollback", dt.datetime(2027, 1, 2))],
+        "conv_id string, turn_idx long, role string, text string, ts timestamp"))
+    assert table._load()["scope_seq"]["api"] == seq_before["api"] + 1
+    # rollback to the current version is a no-op (no empty commit)
+    cur_v = table._load()["version"]
+    assert table.rollback(cur_v) == cur_v
+    assert table._load()["version"] == cur_v
+
+
+def test_rollback_expire_interplay_and_refusals(spark, tmp_path):
+    """The rollback commit re-pins the restored files (expire keeps
+    them via the current manifest even after the source version's
+    manifest is dropped); rollback refuses non-TT and changefeed
+    tables and unretained targets; tag names resolve."""
+    table, _ = _chunked_table(spark, tmp_path, time_travel=True)
+    v_mid = table.versions()[-2]
+    mid_hash = state_hash(table.snapshot(as_of=v_mid).toPandas())
+    table.tag_snapshot("good", v_mid)
+    new_v = table.rollback("good")  # tag-name target
+    assert state_hash(table.snapshot().toPandas()) == mid_hash
+    # drop the tag, expire everything but the newest: v_mid's manifest
+    # goes away, but the CURRENT manifest references the same files
+    table.drop_tag("good")
+    out = table.expire_snapshots(keep_last=1)
+    assert v_mid not in table.versions()
+    assert state_hash(table.snapshot().toPandas()) == mid_hash
+    assert out["dropped_versions"] >= 1
+    # unretained target now raises
+    with pytest.raises(FileNotFoundError):
+        table.rollback(v_mid)
+    # refusals: non-TT, changefeed, branch handle
+    t2, _ = _chunked_table(spark, tmp_path / "ntt")
+    with pytest.raises(ValueError, match="time_travel"):
+        t2.rollback(0)
+    spec = ChangelogSpec(seed=48, n_conv=20, extra_rate=1.0, dup_rate=0.1)
+    log3 = str(tmp_path / "cf" / "log")
+    gen_changelog(log3, spec)
+    t3, _ = replay(spark, log3, str(tmp_path / "cf" / "tbl"),
+                   changefeed=True, time_travel=True)
+    with pytest.raises(ValueError, match="changefeed"):
+        t3.rollback(0)
+    br = table.create_branch("wip")
+    with pytest.raises(ValueError, match="main handle"):
+        br.rollback(0)
