@@ -852,3 +852,74 @@ def cdc_metadata_tables(spark, d):
         "files_reconcile_manifest boolean, "
         "history_matches_ledger boolean, "
         "snapshots_and_refs_consistent boolean")
+
+
+@q("cdc_schema_rename_drop", """
+SELECT CAST(1 AS BOOLEAN) AS rename_metadata_only_values_stable,
+       CAST(1 AS BOOLEAN) AS drop_readd_never_resurrects,
+       CAST(1 AS BOOLEAN) AS changelog_and_compact_consistent
+""")
+def cdc_schema_rename_drop(spark, d):
+    """Field-id schema-evolution contract (round 5, beyond-survey —
+    plans/target.py rename_column/drop_column, Iceberg field-id
+    semantics): (a) rename is a METADATA-ONLY commit — the live file
+    set is unchanged, reads resolve old physical files through stable
+    field ids so every value appears under the new name, and an as-of
+    read of a pre-rename version keeps the old name; (b) a
+    dropped-then-re-added column gets a FRESH field id — pre-drop
+    values read NULL, only post-re-add writes are visible; (c) a pure
+    rename emits ZERO snapshot-diff changelog rows (both endpoints
+    conform through the `to` manifest's ids), and compact() rewrites
+    materialize the new name with the exact same values."""
+    from ..plans.target import LocalCowTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_rnq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=127, n_buckets=8,
+                         time_travel=True)
+    v0 = table._load()["version"]
+
+    def _files(t):
+        return {rel for es in t._load()["buckets"].values() for rel, _ in es}
+
+    def _vals(t):
+        df = t.read(include_system=False).toPandas()
+        col = "body" if "body" in df.columns else "text"
+        return sorted(map(tuple, df[["conv_id", "turn_idx", col]]
+                          .itertuples(index=False)))
+
+    vals0 = _vals(table)
+    before = _files(table)
+    table.rename_column("text", "body")
+    v1 = table._load()["version"]
+    asof = table.read(as_of=v0, include_system=False).columns
+    a_ok = (_files(table) == before and _vals(table) == vals0
+            and "text" in asof and "body" not in asof
+            and "body" in table.read().columns)
+
+    # (b) drop tool, re-add via upsert: old values stay dark
+    table.upsert(spark.createDataFrame(
+        [("rn-a", 0, "u", "va", dt.datetime(2027, 5, 1), "hammer")],
+        "conv_id string, turn_idx long, role string, body string, "
+        "ts timestamp, tool string"))
+    fid_old = table._load()["field_ids"]["tool"]
+    table.drop_column("tool")
+    table.upsert(spark.createDataFrame(
+        [("rn-b", 0, "u", "vb", dt.datetime(2027, 5, 2), "saw")],
+        "conv_id string, turn_idx long, role string, body string, "
+        "ts timestamp, tool string"))
+    df = table.read(include_system=False).toPandas()
+    b_ok = (table._load()["field_ids"]["tool"] != fid_old
+            and df[df.conv_id == "rn-b"]["tool"].tolist() == ["saw"]
+            and df[df.conv_id != "rn-b"]["tool"].isna().all())
+
+    # (c) pure rename range diffs empty; compact keeps values put
+    silent = table.changelog_between(v0, v1).count() == 0
+    vals_pre = _vals(table)
+    table.compact()
+    c_ok = silent and _vals(table) == vals_pre
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "rename_metadata_only_values_stable boolean, "
+        "drop_readd_never_resurrects boolean, "
+        "changelog_and_compact_consistent boolean")

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import fcntl
 import json
+import re
 import os
 import shutil
 import time
@@ -77,6 +78,11 @@ _NON_DATA = set(KEY_COLUMNS) | {c.name for c in SYSTEM_FIELDS} | {
 }
 
 _WIDENINGS = {("integer", "long"), ("float", "double"), ("integer", "double")}
+
+# Columns that can never be renamed or dropped: merge keys (bucketing +
+# MERGE ON clause) and engine-managed system columns.  They carry no
+# field ids and always resolve by their canonical names.
+_NO_RENAME = set(KEY_COLUMNS) | {f.name for f in SYSTEM_FIELDS}
 
 
 def _scan_race(e: BaseException) -> bool:
@@ -427,15 +433,205 @@ class LocalCowTable:
                 )
         return T.StructType(out)
 
+    # ---------------- field ids (rename/drop evolution, round 5) -------
+    # Iceberg resolves columns by STABLE FIELD ID, not name — that is
+    # what makes rename a metadata-only commit and keeps a dropped-then-
+    # re-added column from resurrecting old data.  Reduced to this
+    # manifest model: `field_ids` maps the CURRENT logical data columns
+    # to ids, `next_field_id` is a monotonic allocator (never rewinds,
+    # even across rollback — like scope_seq), and `schema_field_ids`
+    # stamps, per registered physical schema id, which field id each
+    # physical column name carried AT WRITE TIME.  Reads resolve
+    # logical -> physical per sid through these stamps (_colmap).
+
+    @staticmethod
+    def _ensure_field_ids(cur: dict) -> None:
+        """Initialize field-id tracking on a pre-feature manifest.
+        By-name stamping of the existing physical schemas is exact: no
+        rename/drop can predate the tracking that enables it."""
+        if cur.get("field_ids") is not None:
+            return
+        fids: dict[str, int] = {}
+        nxt = 1
+        for f in (cur.get("schema") or {"fields": []})["fields"]:
+            if f["name"] not in _NO_RENAME:
+                fids[f["name"]] = nxt
+                nxt += 1
+        cur["field_ids"] = fids
+        cur["next_field_id"] = nxt
+        cur["schema_field_ids"] = {
+            str(i): {f["name"]: fids[f["name"]]
+                     for f in sj["fields"] if f["name"] in fids}
+            for i, sj in enumerate(cur.get("schemas", []))
+        }
+
+    def _register_schema(self, cur: dict, sj: dict) -> int:
+        """Register a physical schema about to be written; returns its
+        schema id.  Assigns field ids to any column the logical
+        mapping has not seen (ADD evolution, or a re-add after DROP —
+        which therefore gets a FRESH id and never reads old data), and
+        reuses an existing sid only when BOTH the schema json AND its
+        field-id stamp match — a re-added column whose physical schema
+        json happens to equal a pre-drop one must not alias onto the
+        old sid's stamp."""
+        self._ensure_field_ids(cur)
+        fids = cur["field_ids"]
+        desired: dict[str, int] = {}
+        for f in sj["fields"]:
+            n = f["name"]
+            if n in _NO_RENAME:
+                continue
+            if n not in fids:
+                fids[n] = cur["next_field_id"]
+                cur["next_field_id"] += 1
+            desired[n] = fids[n]
+        schemas = cur.setdefault("schemas", [])
+        sfi = cur.setdefault("schema_field_ids", {})
+        for i, s in enumerate(schemas):
+            if s == sj and sfi.get(str(i)) == desired:
+                return i
+        schemas.append(sj)
+        sid = len(schemas) - 1
+        sfi[str(sid)] = desired
+        return sid
+
+    def _refuse_constraint_refs(self, man: dict, column: str, what: str) -> None:
+        for name, c in (man.get("check_constraints") or {}).items():
+            if re.search(rf"\b{re.escape(column)}\b", c["expr"]):
+                raise ValueError(
+                    f"cannot {what} column {column!r}: CHECK constraint "
+                    f"{name!r} references it ({c['expr']!r}) — drop the "
+                    "constraint first")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a data column — METADATA-ONLY commit (Iceberg field-id
+        rename): no file is rewritten; reads resolve old physical files
+        through the stable field id, and CoW rewrites materialize the
+        new name bucket-by-bucket as they touch.  As-of reads of
+        pre-rename versions keep the old name (each retained manifest
+        carries its own schema).  Key/system columns refuse (merge keys
+        and guards are positional contracts).  Changefeed tables refuse:
+        feed files are immutable under their write-time names, so a
+        rename would split the column across the feed history for every
+        consumer — the snapshot-diff changelog (changelog_between)
+        resolves ids per endpoint and is the CDC surface that composes
+        with renames.  NB source-side name matching is unchanged
+        (Iceberg writer behavior): a CDC/upsert batch still matching the
+        OLD name will ADD it back as a fresh column."""
+        with self._commit_lock():
+            man = self._load()
+            self._check_rename_target(man, old, new, "rename")
+            if any(f["name"] == new for f in man["schema"]["fields"]):
+                raise ValueError(f"cannot rename {old!r} -> {new!r}: "
+                                 f"{new!r} already exists")
+            if new in _NO_RENAME:
+                raise ValueError(f"cannot rename {old!r} -> {new!r}: "
+                                 f"{new!r} is a reserved key/system name")
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+                raise ValueError(f"invalid column name {new!r}")
+            new_man = dict(man)
+            new_man["schema"] = {
+                **man["schema"],
+                "fields": [{**f, "name": new} if f["name"] == old else f
+                           for f in man["schema"]["fields"]],
+            }
+            fids = dict(new_man["field_ids"])
+            fids[new] = fids.pop(old)
+            new_man["field_ids"] = fids
+            new_man["version"] = man["version"] + 1
+            self._finish_commit(new_man, [])
+            return new_man["version"]
+
+    def drop_column(self, name: str) -> int:
+        """Drop a data column — metadata-only commit.  Old files keep
+        the bytes (reclaimed as buckets rewrite / compact), but the
+        field id retires with the column: re-adding the same name later
+        allocates a FRESH id, so pre-drop values never resurrect —
+        they read NULL (the Iceberg drop/re-add contract).  Same
+        refusals as rename_column."""
+        with self._commit_lock():
+            man = self._load()
+            self._check_rename_target(man, name, None, "drop")
+            new_man = dict(man)
+            new_man["schema"] = {
+                **man["schema"],
+                "fields": [f for f in man["schema"]["fields"]
+                           if f["name"] != name],
+            }
+            fids = dict(new_man["field_ids"])
+            del fids[name]
+            new_man["field_ids"] = fids
+            new_man["version"] = man["version"] + 1
+            self._finish_commit(new_man, [])
+            return new_man["version"]
+
+    def _check_rename_target(self, man: dict, col: str, new: str | None,
+                             what: str) -> None:
+        if man.get("changefeed"):
+            raise ValueError(
+                f"changefeed tables cannot {what} columns: feed files are "
+                "immutable under their write-time names, so every consumer "
+                "would see the column split across the feed history — use "
+                "changelog_between (snapshot-diff CDC resolves field ids "
+                "per endpoint) or recreate consumers from a bootstrap")
+        if man.get("schema") is None:
+            raise ValueError(f"cannot {what} on an empty table (no schema yet)")
+        if col in _NO_RENAME:
+            raise ValueError(f"cannot {what} key/system column {col!r}")
+        if not any(f["name"] == col for f in man["schema"]["fields"]):
+            raise ValueError(f"no such column {col!r}")
+        self._refuse_constraint_refs(man, col, what)
+        self._ensure_field_ids(man)
+
     # ---------------- read ----------------
-    def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+    def _conform(self, df: DataFrame, schema: T.StructType,
+                 colmap: dict | None = None) -> DataFrame:
+        """Project a physical frame onto the logical schema.  `colmap`
+        (logical name -> physical name | None) is the FIELD-ID
+        resolution for one physical schema id — a renamed column reads
+        its old physical name, a dropped-then-re-added column reads
+        NULL from pre-drop files (Iceberg field-id semantics).  Absent
+        colmap falls back to by-name (pre-rename tables and legacy
+        footer-read files, where names never moved)."""
         cols = []
         for f in schema.fields:
-            if f.name in df.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            src = colmap.get(f.name, f.name) if colmap else f.name
+            if src is not None and src in df.columns:
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
+
+    @staticmethod
+    def _colmap(schema: T.StructType, req_fids: dict | None,
+                sfi: dict | None, sid: int | None) -> dict | None:
+        """logical name -> physical column name for physical schema id
+        `sid`, resolved through stable field ids: `req_fids` names the
+        REQUESTED logical columns (the manifest whose schema we conform
+        to), `sfi` records each sid's physical-name -> field-id stamp
+        from write time.  None = resolve by name (tables/files that
+        predate field-id tracking — exact, since no rename can predate
+        its own feature).  Key and system columns have no field ids and
+        always resolve by their canonical names."""
+        if not req_fids or sid is None:
+            return None
+        m = (sfi or {}).get(str(sid))
+        if m is None:
+            return None
+        inv = {fid: n for n, fid in m.items()}
+        out = {}
+        for f in schema.fields:
+            if f.name in _NO_RENAME:
+                out[f.name] = f.name  # keys/system: canonical names
+            elif f.name in req_fids:
+                out[f.name] = inv.get(req_fids[f.name])  # None -> NULL fill
+            else:
+                # data column with no id yet: an ADD (or a re-add after
+                # DROP) still uncommitted at read time — never resolve
+                # it by name, or a dropped column's old bytes would
+                # leak back (and possibly under a new type)
+                out[f.name] = None
+        return out
 
     @staticmethod
     def _entries(man: dict, bucket_ids=None) -> list[tuple[str, int | None]]:
@@ -453,9 +649,11 @@ class LocalCowTable:
         return out
 
     def _read_files(self, entries: list[tuple[str, int | None]], man: dict,
-                    schema: T.StructType) -> DataFrame:
+                    schema: T.StructType, fids: dict | None = None) -> DataFrame:
         if not entries:
             return self.spark.createDataFrame([], schema)
+        if fids is None:
+            fids = man.get("field_ids")
         # Bucket files may carry different physical schemas after ADD/widen
         # evolution (untouched buckets are never rewritten).  Group by the
         # schema id stamped into the manifest at WRITE time — zero metadata
@@ -473,9 +671,11 @@ class LocalCowTable:
         parts = []
         for key, ps in groups.items():
             rd = self.spark.read
+            cm = None
             if isinstance(key, int):
                 rd = rd.schema(T.StructType.fromJson(schemas[key]))
-            parts.append(self._conform(rd.parquet(*ps), schema))
+                cm = self._colmap(schema, fids, man.get("schema_field_ids"), key)
+            parts.append(self._conform(rd.parquet(*ps), schema, cm))
         return reduce(DataFrame.unionAll, parts)
 
     # ---------------- merge-on-read (round 5) ----------------
@@ -491,7 +691,7 @@ class LocalCowTable:
         return [(e[0], e[1], e[2]) for fs in lists for e in fs]
 
     def _read_resolved(self, man: dict, schema: T.StructType,
-                       bucket_ids=None) -> DataFrame:
+                       bucket_ids=None, fids: dict | None = None) -> DataFrame:
         """Base ∪ outstanding deltas with read-time LWW resolution —
         the merge-on-read read path.  When the buckets have no deltas
         this IS the plain base read (zero extra plan nodes).
@@ -531,7 +731,9 @@ class LocalCowTable:
         lists (bounded by files-per-table here; a production catalog
         records sizes in the manifest like Iceberg, making this
         metadata-only)."""
-        base = self._read_files(self._entries(man, bucket_ids), man, schema)
+        if fids is None:
+            fids = man.get("field_ids")
+        base = self._read_files(self._entries(man, bucket_ids), man, schema, fids)
         dents = self._delta_entries(man, bucket_ids)
         if not dents:
             return base
@@ -548,7 +750,8 @@ class LocalCowTable:
         parts = []
         for (sid, seq), ps in groups.items():
             rd = self.spark.read.schema(T.StructType.fromJson(schemas[sid]))
-            parts.append(self._conform(rd.parquet(*ps), schema)
+            cm = self._colmap(schema, fids, man.get("schema_field_ids"), sid)
+            parts.append(self._conform(rd.parquet(*ps), schema, cm)
                          .withColumn("_seq", F.lit(seq).cast("long")))
         delta = reduce(DataFrame.unionAll, parts)
         others = [f.name for f in schema.fields if f.name not in KEY_COLUMNS]
@@ -788,8 +991,21 @@ class LocalCowTable:
                     for name, c in sorted(man.get("check_constraints", {}).items())]
             return self.spark.createDataFrame(
                 rows, "name string, expr string, mode string")
+        if what == "schema":
+            fids = man.get("field_ids") or {}
+            rows = []
+            for f in (man.get("schema") or {"fields": []})["fields"]:
+                kind = ("key" if f["name"] in KEY_COLUMNS
+                        else "system" if f["name"] in _NO_RENAME else "data")
+                rows.append((f["name"],
+                             f["type"] if isinstance(f["type"], str) else "struct",
+                             bool(f.get("nullable", True)), kind,
+                             fids.get(f["name"])))
+            return self.spark.createDataFrame(
+                rows, "name string, type string, nullable boolean, "
+                      "kind string, field_id int")
         raise ValueError(f"unknown metadata table {what!r} (files, history, "
-                         "snapshots, refs, consumers, constraints)")
+                         "snapshots, refs, consumers, constraints, schema)")
 
     # ---------------- branches / write-audit-publish (round 5) ----------
     # Iceberg branch semantics reduced to this manifest model: a branch
@@ -955,11 +1171,18 @@ class LocalCowTable:
             old = self._load_as_of(v)  # raises if not retained
             new = dict(man)
             for k in ("schema", "schemas", "buckets", "deltas", "ledger",
-                      "n_buckets", "format_version", "file_stats"):
+                      "n_buckets", "format_version", "file_stats",
+                      "field_ids", "schema_field_ids"):
                 if k in old:
                     new[k] = old[k]
                 else:
                     new.pop(k, None)
+            # the field-id allocator NEVER rewinds (scope_seq rule): a
+            # column re-added after the rollback must not reuse an id
+            # from the undone timeline, or retained post-rollback
+            # manifests would read its old values
+            new["next_field_id"] = max(int(man.get("next_field_id", 1)),
+                                       int(old.get("next_field_id", 1)))
             new["version"] = man["version"] + 1
             new["rolled_back_from"] = man["version"]  # audit breadcrumb
             new["rolled_back_to"] = v
@@ -1729,12 +1952,7 @@ class LocalCowTable:
                         f"{cur['n_buckets']}/v{self._fmt(cur)}) — retry re-plans "
                         "against the new layout")
             ver = cur["version"] + 1
-            schemas = cur.setdefault("schemas", [])
-            try:
-                sid = schemas.index(sj)
-            except ValueError:
-                schemas.append(sj)
-                sid = len(schemas) - 1
+            sid = self._register_schema(cur, sj)
             new_deltas = {k: list(v) for k, v in cur.get("deltas", {}).items()}
             new_rels: list[str] = []
             for b in touched:
@@ -1836,12 +2054,7 @@ class LocalCowTable:
                         f"(read v{base_man['version']}, now v{cur['version']}) — "
                         "the merge joined against stale files; retry re-reads")
             ver = cur["version"] + 1
-            schemas = cur.setdefault("schemas", [])
-            try:
-                sid = schemas.index(sj)
-            except ValueError:
-                schemas.append(sj)
-                sid = len(schemas) - 1
+            sid = self._register_schema(cur, sj)
             new_buckets = dict(cur["buckets"])
             new_deltas = dict(cur.get("deltas", {}))
             replaced: list[str] = []
@@ -2649,8 +2862,19 @@ class LocalCowTable:
             keys_df = (self.spark.read.schema(key_schema).parquet(*paths)
                        .distinct())
 
-        a = self._read_resolved(man_a, schema, touched).alias("a")
-        b = self._read_resolved(man_b, schema, touched).alias("b")
+        # Both endpoints are conformed to the TO schema through the TO
+        # manifest's FIELD IDS, each resolved against its own manifest's
+        # physical stamps — a pure rename in the range therefore lines
+        # the same values up under the new name on both sides and emits
+        # NO spurious changes; a drop simply leaves the diff's schema.
+        # A pre-feature `from` manifest gets its stamps synthesized
+        # in-memory by name (exact: renames cannot predate the feature,
+        # and ADD evolution only ever appends, so field order is stable).
+        fids_b = man_b.get("field_ids")
+        if fids_b:
+            self._ensure_field_ids(man_a)
+        a = self._read_resolved(man_a, schema, touched, fids=fids_b).alias("a")
+        b = self._read_resolved(man_b, schema, touched, fids=fids_b).alias("b")
         if keys_df is not None:
             a = a.join(F.broadcast(keys_df), on=list(KEY_COLUMNS), how="left_semi").alias("a")
             b = b.join(F.broadcast(keys_df), on=list(KEY_COLUMNS), how="left_semi").alias("b")
@@ -2765,12 +2989,7 @@ class LocalCowTable:
                         f"table {self.root} advanced v{man['version']} -> "
                         f"v{cur['version']} during compact; re-running")
                 ver = cur["version"] + 1
-                schemas = cur.setdefault("schemas", [])
-                try:
-                    sid = schemas.index(sj)
-                except ValueError:
-                    schemas.append(sj)
-                    sid = len(schemas) - 1
+                sid = self._register_schema(cur, sj)
                 old = [e if isinstance(e, str) else e[0]
                        for fs in cur["buckets"].values() for e in fs]
                 # compaction folds outstanding MoR deltas into base

@@ -194,10 +194,23 @@ def main() -> None:
     ins.add_argument("--table", required=True)
     ins.add_argument("--what", required=True,
                      choices=["files", "history", "snapshots", "refs",
-                              "consumers", "constraints"])
+                              "consumers", "constraints", "schema"])
     ins.add_argument("--branch", default=None,
                      help="inspect a branch manifest instead of main")
     ins.add_argument("--limit", type=int, default=50)
+
+    rc = sub.add_parser("rename-column", help="rename a data column "
+                                              "(metadata-only; Iceberg "
+                                              "field-id semantics)")
+    rc.add_argument("--table", required=True)
+    rc.add_argument("--column", required=True)
+    rc.add_argument("--to", required=True)
+
+    dc = sub.add_parser("drop-column", help="drop a data column "
+                                            "(metadata-only; re-adding the "
+                                            "name never resurrects old data)")
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--column", required=True)
 
     rb = sub.add_parser("rollback", help="reset data state to a retained "
                                          "version as a NEW commit (Iceberg "
@@ -451,6 +464,18 @@ def main() -> None:
 
         t = LocalCowTable(spark, args.table, branch=args.branch)
         t.inspect(args.what).show(args.limit, truncate=False)
+    elif args.cmd == "rename-column":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        v = t.rename_column(args.column, args.to)
+        print(json.dumps({"renamed": [args.column, args.to], "version": v}))
+    elif args.cmd == "drop-column":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        v = t.drop_column(args.column)
+        print(json.dumps({"dropped": args.column, "version": v}))
     elif args.cmd == "rollback":
         from dipper_spark.plans.target import LocalCowTable
 
