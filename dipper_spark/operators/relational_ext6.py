@@ -923,3 +923,99 @@ def cdc_schema_rename_drop(spark, d):
         "rename_metadata_only_values_stable boolean, "
         "drop_readd_never_resurrects boolean, "
         "changelog_and_compact_consistent boolean")
+
+
+@q("cdc_minor_compaction", """
+SELECT CAST(1 AS BOOLEAN) AS folds_only_selected_buckets,
+       CAST(1 AS BOOLEAN) AS rebases_over_concurrent_writer,
+       CAST(1 AS BOOLEAN) AS noop_and_purge_consistent
+""")
+def cdc_minor_compaction(spark, d):
+    """Minor/targeted compaction contract (round 5, beyond-survey —
+    plans/target.py compact(minor=True), Iceberg
+    rewrite_data_files-with-filter shape): (a) with delta debt planted
+    in a known bucket subset, minor compaction folds EXACTLY those
+    buckets — unselected buckets' base files stay byte-identical and
+    the snapshot hash is invariant; (b) a writer committing into an
+    UNSELECTED bucket between the compaction's read and commit is
+    rebased over (both commits land — merge-style touched-bucket
+    validation, not a strict CAS); (c) a second minor pass is a
+    no-commit no-op, and an explicit-bucket tombstone purge keeps the
+    live row set intact."""
+    import datetime as dtm
+    from contextlib import contextmanager
+
+    from ..plans.target import LocalCowTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_mcq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=131, n_buckets=16,
+                         chunk_lsn=200, write_mode="mor")
+    table.compact()  # zero debt baseline
+    man = table._load()
+    nb = man["n_buckets"]
+    cands = [f"mc-{i}" for i in range(200)]
+    bdf = spark.createDataFrame([(k, 0) for k in cands],
+                                "conv_id string, turn_idx long")
+    bmap = {r["conv_id"]: r["b"] for r in
+            bdf.select("conv_id", table._bucket_expr(nb).alias("b")).collect()}
+    seed_key = cands[0]
+    table.upsert(spark.createDataFrame(
+        [(seed_key, 0, "user", "debt", dtm.datetime(2027, 7, 1))],
+        ROWS))
+    man = table._load()
+    delta_buckets = {int(b) for b, es in man.get("deltas", {}).items() if es}
+    before = {b: [e[0] for e in es] for b, es in man["buckets"].items()}
+
+    # (b) interleave a writer on a DIFFERENT bucket mid-compaction
+    t2 = LocalCowTable(spark, table.root)
+    probe = next((k for k, b in bmap.items() if b not in delta_buckets), None)
+    orig = table._commit_lock
+    fired = {"n": 0}
+
+    @contextmanager
+    def hooked():
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2.upsert(spark.createDataFrame(
+                [(probe, 0, "user", "mid-compact", dtm.datetime(2027, 7, 2))],
+                ROWS))
+        with orig():
+            yield
+
+    table._commit_lock = hooked
+    try:
+        n = table.compact(minor=True)
+    finally:
+        table._commit_lock = orig
+    man2 = table._load()
+    after = {b: [e[0] for e in es] for b, es in man2["buckets"].items()}
+    # the interleaved probe write is an MoR APPEND — base file lists of
+    # unselected buckets must still be byte-identical to `before`
+    live = table.snapshot().toPandas()
+    a_ok = (n == len(delta_buckets)
+            and all(after[b] == before[b] for b in before
+                    if int(b) not in delta_buckets)
+            and all(after[str(b)] != before.get(str(b))
+                    for b in delta_buckets))
+    b_ok = (fired["n"] == 1
+            and live[live.conv_id == probe]["text"].tolist() == ["mid-compact"]
+            and live[live.conv_id == seed_key]["text"].tolist() == ["debt"])
+
+    # (c) second pass: no-op, no version bump; tombstone purge keeps live
+    v = man2["version"]
+    outstanding = {int(b) for b, es in man2.get("deltas", {}).items() if es}
+    n2 = table.compact(minor=True)  # folds the probe's delta, if any
+    noop = table.compact(minor=True) == 0 and table._load()["version"] == v + (1 if n2 else 0)
+    table.delete_where(f"conv_id = '{seed_key}'")
+    h_live = _state_hash_hex(table)
+    tomb_b = sorted(int(b) for b, es in table._load().get("deltas", {}).items() if es)
+    table.compact(buckets=tomb_b, drop_tombstones=True)
+    c_ok = (noop and n2 == len(outstanding)
+            and _state_hash_hex(table) == h_live
+            and table.delta_file_count() == 0)
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "folds_only_selected_buckets boolean, "
+        "rebases_over_concurrent_writer boolean, "
+        "noop_and_purge_consistent boolean")

@@ -2903,27 +2903,142 @@ class LocalCowTable:
                 .filter(F.col("change_op").isNotNull()))
 
     # ---------------- maintenance (op C17) ----------------
-    def compact(self, drop_tombstones: bool = False) -> int:
-        """Rewrite every bucket into a single fresh file (CoW merge churn
-        produces small files). Optionally purge tombstones — only safe
-        once no staler events can still arrive (e.g. after a full
-        replay). Returns number of buckets rewritten.
+    def compact(self, drop_tombstones: bool = False, *,
+                buckets: list[int] | None = None, minor: bool = False,
+                min_files: int = 2) -> int:
+        """Rewrite buckets into single fresh files.  Returns the number
+        of buckets rewritten.
 
-        Doubles as the v1 -> v2 format migration: it reads EVERY row
-        (via the manifest's own v1 bucket fn), re-buckets with the v2
-        murmur3 key hash, and commits format_version 2 atomically with
-        the rewritten layout.
+        Default (major) form rewrites EVERY bucket — it reads every
+        row, folds all outstanding MoR deltas, and doubles as the
+        v1 -> v2 format migration (re-buckets with the v2 murmur3 key
+        hash and commits format_version 2 atomically).  Its commit is a
+        strict version CAS — any concurrent commit raises
+        CommitConflict and the whole compaction re-runs (bounded
+        retries).
 
-        Concurrency: compact reads (and replaces) EVERY bucket, so its
-        commit is a strict version CAS — any concurrent commit raises
-        CommitConflict and the whole compaction re-runs from fresh
-        state (bounded retries)."""
+        `minor=True` (Iceberg rewrite_data_files-with-filter shape) is
+        the 100 TB maintenance path: it selects ONLY the buckets that
+        need work — outstanding MoR delta files, or >= `min_files` base
+        files — and rewrites just those; `buckets=[...]` selects an
+        explicit set instead.  Cost is O(selected-bucket bytes), never
+        O(table).  Its commit uses the merge-style TOUCHED-BUCKET
+        validation, not a strict CAS: a concurrent writer on an
+        unselected bucket commits freely and the compaction rebases
+        onto it; a concurrent write into a selected bucket raises
+        CommitConflict and the compaction re-selects and re-runs.
+        Minor compaction never changes the layout, so it requires a
+        format-v2 table (a partial v1 re-bucket would split keys
+        across hash functions — run a full compact() to migrate
+        first).  `drop_tombstones` purges within the selected buckets
+        only (safe: keys are bucket-local); as everywhere, only purge
+        once no staler events can still arrive."""
+        if minor or buckets is not None:
+            for attempt in range(self.COMMIT_RETRIES):
+                try:
+                    return self._compact_minor_once(drop_tombstones, buckets,
+                                                    min_files)
+                except CommitConflict:
+                    if attempt == self.COMMIT_RETRIES - 1:
+                        raise
         for attempt in range(self.COMMIT_RETRIES):
             try:
                 return self._compact_once(drop_tombstones)
             except CommitConflict:
                 if attempt == self.COMMIT_RETRIES - 1:
                     raise
+
+    def _compact_minor_once(self, drop_tombstones: bool,
+                            bucket_ids: list[int] | None,
+                            min_files: int) -> int:
+        man = self._load()
+        if man["schema"] is None:
+            return 0
+        if self._fmt(man) != 2:
+            raise ValueError(
+                "minor compaction requires a format-v2 layout (a partial "
+                "re-bucket of a v1 table would split keys across hash "
+                "functions) — run a full compact() first, which migrates")
+        if bucket_ids is not None:
+            sel = sorted({int(b) for b in bucket_ids})
+            bad = [b for b in sel if not 0 <= b < man["n_buckets"]]
+            if bad:
+                raise ValueError(f"bucket ids out of range: {bad} "
+                                 f"(n_buckets={man['n_buckets']})")
+        else:
+            deltas = man.get("deltas", {})
+            sel = [b for b in range(man["n_buckets"])
+                   if deltas.get(str(b))
+                   or len(man["buckets"].get(str(b), [])) >= min_files]
+        sel = [b for b in sel
+               if man["buckets"].get(str(b)) or man.get("deltas", {}).get(str(b))]
+        if not sel:
+            return 0
+        schema = T.StructType.fromJson(man["schema"])
+        nb = man["n_buckets"]
+        df = self._read_resolved(man, schema, sel)
+        if drop_tombstones:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        df = df.withColumn("_bucket", self._bucket_expr(nb))
+        sj = schema.jsonValue()
+        tmp = os.path.join(self.root, f"_tmp_compact_{uuid.uuid4().hex[:8]}")
+        # same one-file-per-bucket shape as the merge write: partition i
+        # holds exactly bucket i (murmur3 pmod); unselected buckets are
+        # simply absent from the frame, so their partitions are empty
+        df.repartition(nb, *KEY_COLUMNS).write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        try:
+            with self._commit_lock():
+                cur = self._load()
+                if cur["version"] != man["version"]:
+                    if cur["schema"] != man["schema"]:
+                        raise CommitConflict(
+                            f"concurrent schema change on {self.root} during "
+                            "minor compact; re-running")
+                    if (cur["n_buckets"] != man["n_buckets"]
+                            or self._fmt(cur) != self._fmt(man)):
+                        raise CommitConflict(
+                            f"bucket layout changed concurrently on {self.root} "
+                            "during minor compact; re-running")
+                    stale = [b for b in sel
+                             if cur["buckets"].get(str(b), []) != man["buckets"].get(str(b), [])
+                             or cur.get("deltas", {}).get(str(b), [])
+                             != man.get("deltas", {}).get(str(b), [])]
+                    if stale:
+                        raise CommitConflict(
+                            f"buckets {stale} changed concurrently on "
+                            f"{self.root} during minor compact; re-running")
+                ver = cur["version"] + 1
+                sid = self._register_schema(cur, sj)
+                new_buckets = dict(cur["buckets"])
+                new_deltas = {k: list(v) for k, v in cur.get("deltas", {}).items()}
+                replaced: list[str] = []
+                new_rels: list[str] = []
+                for b in sel:
+                    replaced += [e if isinstance(e, str) else e[0]
+                                 for e in cur["buckets"].get(str(b), [])]
+                    replaced += [e[0] for e in new_deltas.pop(str(b), [])]
+                    bdir = os.path.join(tmp, f"_bucket={b}")
+                    rels = []
+                    if os.path.isdir(bdir):
+                        for i, fn in enumerate(sorted(
+                                f for f in os.listdir(bdir) if f.endswith(".parquet"))):
+                            rel = os.path.join(
+                                "data", f"b{b:05d}_v{ver}_{i}_{uuid.uuid4().hex[:8]}.parquet")
+                            os.replace(os.path.join(bdir, fn), os.path.join(self.root, rel))
+                            rels.append([rel, sid])
+                            new_rels.append(rel)
+                    if rels:
+                        new_buckets[str(b)] = rels
+                    else:  # tombstone purge emptied the bucket
+                        new_buckets.pop(str(b), None)
+                cur["version"] = ver
+                cur["buckets"] = new_buckets
+                cur["deltas"] = new_deltas
+                self._refresh_stats(cur, new_rels)
+                self._finish_commit(cur, replaced)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return len(sel)
 
     def rescale_buckets(self, new_n_buckets: int,
                         drop_tombstones: bool = False) -> int:

@@ -153,6 +153,15 @@ def main() -> None:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.add_argument("--drop-tombstones", action="store_true")
+    c.add_argument("--minor", action="store_true",
+                   help="rewrite only delta-debt / fragmented buckets "
+                        "(O(selected bytes), composes with concurrent "
+                        "writers on other buckets)")
+    c.add_argument("--buckets", default=None,
+                   help="explicit comma-separated bucket ids to rewrite")
+    c.add_argument("--min-files", type=int, default=2,
+                   help="minor selection: buckets with >= this many "
+                        "base files (delta-debt buckets always select)")
 
     rs = sub.add_parser("rescale", help="online bucket-count change (one commit)")
     rs.add_argument("--table", required=True)
@@ -420,7 +429,11 @@ def main() -> None:
     elif args.cmd == "compact":
         from dipper_spark.plans.target import LocalCowTable
 
-        n = LocalCowTable(spark, args.table).compact(drop_tombstones=args.drop_tombstones)
+        bks = ([int(x) for x in args.buckets.split(",")]
+               if args.buckets else None)
+        n = LocalCowTable(spark, args.table).compact(
+            drop_tombstones=args.drop_tombstones, buckets=bks,
+            minor=args.minor, min_files=args.min_files)
         print(json.dumps({"buckets_rewritten": n}))
     elif args.cmd == "rescale":
         from dipper_spark.plans.target import LocalCowTable
