@@ -1019,3 +1019,77 @@ def cdc_minor_compaction(spark, d):
         "folds_only_selected_buckets boolean, "
         "rebases_over_concurrent_writer boolean, "
         "noop_and_purge_consistent boolean")
+
+
+@q("cdc_maintenance_advisor", """
+SELECT CAST(1 AS BOOLEAN) AS debt_detected_then_cleared,
+       CAST(1 AS BOOLEAN) AS retention_layout_pressure_detected,
+       CAST(1 AS BOOLEAN) AS healthy_table_advises_nothing
+""")
+def cdc_maintenance_advisor(spark, d):
+    """Maintenance-advisor contract (round 5, beyond-survey —
+    plans/advisor.py, LocalCowTable.advise): (a) planted MoR delta
+    debt surfaces as a `compact --minor` row (escalating to HIGH past
+    the broadcast-resolve budget) and disappears once minor compaction
+    folds it; (b) retained-version pile-up and an oversized bucket
+    layout surface under pinned thresholds as `expire --keep-last` /
+    `rescale --n-buckets` rows, and expire clears the former; (c) a
+    freshly compacted table advises NOTHING, and planted crash debris
+    surfaces as a `vacuum` row that vacuum(ttl=0) clears.  All
+    driver-side metadata + stat/listdir — the advisor never reads data
+    or starts a job."""
+    import datetime as dtm
+
+    work = tempfile.mkdtemp(prefix=f"dipper_adq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=137, n_buckets=8,
+                         time_travel=True, chunk_lsn=200)
+
+    def acts(t):
+        return {r["action"]: r for r in t.advise().collect()}
+
+    # (b) retention + layout pressure under pinned thresholds
+    os.environ["DIPPER_ADVISE_KEEP_VERSIONS"] = "2"
+    os.environ["DIPPER_TARGET_BUCKET_BYTES"] = "1"
+    try:
+        a = acts(table)
+        pressure = ("expire --keep-last" in a
+                    and a["expire --keep-last"]["metric"] > 2
+                    and "rescale --n-buckets" in a
+                    and a["rescale --n-buckets"]["severity"] == "high")
+        table.expire_snapshots(keep_last=2)
+        expired_clear = "expire --keep-last" not in acts(table)
+    finally:
+        del os.environ["DIPPER_ADVISE_KEEP_VERSIONS"]
+        del os.environ["DIPPER_TARGET_BUCKET_BYTES"]
+    b_ok = pressure and expired_clear
+
+    # (a) MoR delta debt detect -> escalate -> clear
+    table.compact()
+    table.set_write_mode("mor")
+    table.upsert(spark.createDataFrame(
+        [("adq-k", 0, "user", "debt", dtm.datetime(2027, 8, 1))], ROWS))
+    a = acts(table)
+    low = ("compact --minor" in a
+           and a["compact --minor"]["severity"] == "low")
+    os.environ["DIPPER_MOR_BROADCAST_BYTES"] = "1"
+    try:
+        high = acts(table)["compact --minor"]["severity"] == "high"
+    finally:
+        del os.environ["DIPPER_MOR_BROADCAST_BYTES"]
+    table.compact(minor=True)
+    a_ok = low and high and "compact --minor" not in acts(table)
+
+    # (c) healthy == empty; debris -> vacuum -> empty
+    healthy = table.advise().count() == 0
+    os.makedirs(os.path.join(table.root, "_tmp_compact_dead0001"),
+                exist_ok=True)
+    a = acts(table)
+    debris = "vacuum" in a and "debris" in a["vacuum"]["reason"]
+    table.vacuum(ttl_seconds=0)
+    c_ok = healthy and debris and table.advise().count() == 0
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "debt_detected_then_cleared boolean, "
+        "retention_layout_pressure_detected boolean, "
+        "healthy_table_advises_nothing boolean")

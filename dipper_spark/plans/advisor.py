@@ -1,0 +1,172 @@
+"""Maintenance advisor (round 5): render the manifest's health as a
+queryable recommendation DataFrame — which buckets carry MoR delta
+debt and whether read amplification is past the broadcast-resolve
+budget, whether snapshot/changefeed retention is piling up, whether
+the bucket layout is under- or over-sized for the data, and whether
+crash debris needs a vacuum.
+
+Everything here is DRIVER-SIDE METADATA ONLY: the manifest dict plus
+os.stat of the files it lists (the same cost class as the metadata
+inspection tables — at 10^10-event scale a production catalog carries
+these sizes in the manifest itself, exactly like Iceberg, making this
+a pure dict scan).  The advisor never reads data, never starts a
+Spark job, and never writes: every row is a recommendation whose
+`action` names the CLI/API verb that resolves it.
+
+Thresholds are deliberately env-tunable, with defaults matched to the
+engine's own measured crossovers:
+  * DIPPER_MOR_BROADCAST_BYTES (32 MB) — the MoR read path falls off
+    the broadcast-resolve plan past this delta debt: that boundary IS
+    the "minor compaction overdue" signal.
+  * DIPPER_TARGET_BUCKET_BYTES (512 MB) — buckets bound both the merge
+    shuffle width and the one-file-per-bucket layout; past this
+    per-bucket size a rescale keeps file sizes in the scan sweet spot.
+  * DIPPER_ADVISE_KEEP_VERSIONS (64) / DIPPER_ADVISE_KEEP_BATCHES
+    (256) — retention nags for time-travel manifests and changefeed
+    history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+ADVICE_SCHEMA = ("action string, target string, severity string, "
+                 "metric double, reason string")
+
+
+def _sizes(root: str, rels: list[str]) -> int:
+    total = 0
+    for rel in rels:
+        try:
+            total += os.path.getsize(os.path.join(root, rel))
+        except OSError:
+            pass
+    return total
+
+
+def advise(table) -> DataFrame:
+    """Recommendation rows for a LocalCowTable, most severe first.
+    Empty result == nothing to do."""
+    man = table._load()
+    root = table.root
+    rows: list[tuple] = []
+
+    # ---- MoR delta debt -> minor compaction --------------------------
+    deltas = man.get("deltas", {})
+    debt = {b: es for b, es in deltas.items() if es}
+    if debt:
+        broadcast_limit = int(os.environ.get("DIPPER_MOR_BROADCAST_BYTES",
+                                             str(32 << 20)))
+        debt_bytes = _sizes(root, [e[0] for es in debt.values() for e in es])
+        n_files = sum(len(es) for es in debt.values())
+        over = debt_bytes > broadcast_limit
+        rows.append((
+            "compact --minor",
+            f"buckets {','.join(sorted(debt, key=int))}",
+            "high" if over else "low",
+            float(debt_bytes),
+            f"{n_files} outstanding delta file(s), {debt_bytes} bytes"
+            + (" — past the broadcast-resolve budget: reads now shuffle "
+               "the touched buckets' full base" if over else
+               " — reads still resolve via the broadcast plan"),
+        ))
+
+    # ---- fragmented buckets (multi-file base) -> minor compaction ----
+    frag = {b: es for b, es in man.get("buckets", {}).items() if len(es) > 1}
+    if frag:
+        rows.append((
+            "compact --minor",
+            f"buckets {','.join(sorted(frag, key=int))}",
+            "low",
+            float(sum(len(es) for es in frag.values())),
+            f"{len(frag)} bucket(s) hold multiple base files — one "
+            "rewrite restores the one-file-per-bucket scan shape",
+        ))
+
+    # ---- retained snapshot pile-up -> expire_snapshots ----------------
+    if man.get("time_travel"):
+        keep = int(os.environ.get("DIPPER_ADVISE_KEEP_VERSIONS", "64"))
+        n_versions = len(table.versions())
+        if n_versions > keep:
+            rows.append((
+                "expire --keep-last",
+                f"{keep}",
+                "medium",
+                float(n_versions),
+                f"{n_versions} retained versions (> {keep}): superseded "
+                "data files cannot be reclaimed until expire runs "
+                "(tags keep their pins either way)",
+            ))
+
+    # ---- changefeed history pile-up -> expire_changefeed --------------
+    if man.get("changefeed"):
+        keep_b = int(os.environ.get("DIPPER_ADVISE_KEEP_BATCHES", "256"))
+        consumers = man.get("changefeed_consumers", {})
+        backlog = 0
+        ch_root = os.path.join(root, "_changes")
+        try:
+            for sd in os.listdir(ch_root):
+                if sd.startswith("scope="):
+                    backlog += sum(
+                        1 for bd in os.listdir(os.path.join(ch_root, sd))
+                        if bd.startswith("batch="))
+        except OSError:
+            pass
+        if backlog > keep_b:
+            if consumers:
+                mode, why = "--changefeed-keep-consumed", (
+                    "every registered consumer's ack floor releases them")
+            else:
+                mode, why = "--changefeed-keep-batches", (
+                    "no consumer group registered — pick an explicit floor")
+            rows.append((
+                f"expire {mode}",
+                "changefeed",
+                "medium",
+                float(backlog),
+                f"~{backlog} feed batches retained (> {keep_b}); {why}",
+            ))
+
+    # ---- bucket layout sizing -> rescale_buckets -----------------------
+    base_rels = [e[0] if not isinstance(e, str) else e
+                 for es in man.get("buckets", {}).values() for e in es]
+    if base_rels and man.get("n_buckets"):
+        target = int(os.environ.get("DIPPER_TARGET_BUCKET_BYTES",
+                                    str(512 << 20)))
+        total = _sizes(root, base_rels)
+        per_bucket = total / man["n_buckets"]
+        if per_bucket > target:
+            want = man["n_buckets"]
+            while total / want > target:
+                want *= 2
+            rows.append((
+                "rescale --n-buckets",
+                str(want),
+                "high",
+                float(per_bucket),
+                f"~{int(per_bucket)} bytes/bucket over {man['n_buckets']} "
+                f"buckets (> {target} target): merges rewrite oversized "
+                "files and the shuffle width under-uses the cluster",
+            ))
+
+    # ---- crash debris -> vacuum ----------------------------------------
+    try:
+        debris = [d for d in os.listdir(root)
+                  if d.startswith(("_tmp_", "_stage_", ".stage_"))]
+    except OSError:
+        debris = []
+    if debris:
+        rows.append((
+            "vacuum",
+            f"{len(debris)} dir(s)",
+            "low",
+            float(len(debris)),
+            "staging/work directories left behind (in-flight writers or "
+            "crash debris) — vacuum sweeps those past the TTL",
+        ))
+
+    order = {"high": 0, "medium": 1, "low": 2}
+    rows.sort(key=lambda r: (order[r[2]], r[0]))
+    return table.spark.createDataFrame(rows, ADVICE_SCHEMA)

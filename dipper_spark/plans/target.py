@@ -930,8 +930,11 @@ class LocalCowTable:
                 st = stats.get(rel) or {}
                 conv = st.get("conv") or [None, None]
                 turn = st.get("turn") or [None, None]
+                nrows = st.get("rows")  # absent on pre-feature stats
                 return (rel, kind, int(bucket), int(sid) if sid is not None else None,
-                        seq, nbytes, conv[0], conv[1],
+                        seq, nbytes,
+                        int(nrows) if nrows is not None else None,
+                        conv[0], conv[1],
                         int(turn[0]) if turn[0] is not None else None,
                         int(turn[1]) if turn[1] is not None else None)
             for b, ents in man.get("buckets", {}).items():
@@ -942,7 +945,8 @@ class LocalCowTable:
                     rows.append(_row(rel, sid, b, "delta", int(seq)))
             return self.spark.createDataFrame(
                 rows, "path string, kind string, bucket int, schema_id int, "
-                      "commit_version int, bytes long, conv_min string, "
+                      "commit_version int, bytes long, rows long, "
+                      "conv_min string, "
                       "conv_max string, turn_min long, turn_max long")
         if what == "history":
             rows = [(int(e["batch_id"]), e.get("scope", "default"),
@@ -1006,6 +1010,16 @@ class LocalCowTable:
                       "kind string, field_id int")
         raise ValueError(f"unknown metadata table {what!r} (files, history, "
                          "snapshots, refs, consumers, constraints, schema)")
+
+    def advise(self) -> DataFrame:
+        """Maintenance recommendations (plans/advisor.py): delta debt
+        vs the broadcast-resolve budget, fragmented buckets, snapshot/
+        changefeed retention pressure, bucket-layout sizing, crash
+        debris — each row names the CLI/API verb that resolves it.
+        Driver-side metadata + stat/listdir only; empty == healthy."""
+        from .advisor import advise as _advise
+
+        return _advise(self)
 
     # ---------------- branches / write-audit-publish (round 5) ----------
     # Iceberg branch semantics reduced to this manifest model: a branch
@@ -2452,7 +2466,7 @@ class LocalCowTable:
                     swept.append(os.path.relpath(p, self.root))
 
         with self._commit_lock():
-            _sweep(self.root, ("_tmp_b", "_stage_b"))
+            _sweep(self.root, ("_tmp_b", "_stage_b", "_tmp_compact_"))
             _sweep(os.path.join(self.root, "_changes"), (".stage_",))
             _sweep(os.path.join(self.root, DEAD_LETTER_DIR, "constraints"),
                    (".stage_",))
@@ -2703,7 +2717,8 @@ class LocalCowTable:
                     idx[n] = i
             if len(idx) != 2:
                 return None
-            out = {"conv": [None, None], "turn": [None, None]}
+            out = {"conv": [None, None], "turn": [None, None],
+                   "rows": md.num_rows}
             for rg in range(md.num_row_groups):
                 for name, key in (("conv_id", "conv"), ("turn_idx", "turn")):
                     st = md.row_group(rg).column(idx[name]).statistics

@@ -208,6 +208,11 @@ def main() -> None:
                      help="inspect a branch manifest instead of main")
     ins.add_argument("--limit", type=int, default=50)
 
+    ad = sub.add_parser("advise", help="maintenance recommendations "
+                                       "(metadata-only): compaction, "
+                                       "retention, layout, vacuum")
+    ad.add_argument("--table", required=True)
+
     rc = sub.add_parser("rename-column", help="rename a data column "
                                               "(metadata-only; Iceberg "
                                               "field-id semantics)")
@@ -477,6 +482,10 @@ def main() -> None:
 
         t = LocalCowTable(spark, args.table, branch=args.branch)
         t.inspect(args.what).show(args.limit, truncate=False)
+    elif args.cmd == "advise":
+        from dipper_spark.plans.target import LocalCowTable
+
+        LocalCowTable(spark, args.table).advise().show(50, truncate=False)
     elif args.cmd == "rename-column":
         from dipper_spark.plans.target import LocalCowTable
 
