@@ -1093,3 +1093,102 @@ def cdc_maintenance_advisor(spark, d):
         "debt_detected_then_cleared boolean, "
         "retention_layout_pressure_detected boolean, "
         "healthy_table_advises_nothing boolean")
+
+
+@q("cdc_history_changelog", """
+SELECT CAST(1 AS BOOLEAN) AS mor_current_slice_and_state_at,
+       CAST(1 AS BOOLEAN) AS equals_feed_history_same_commits,
+       CAST(1 AS BOOLEAN) AS seeded_floor_and_purge_refusal
+""")
+def cdc_history_changelog(spark, d):
+    """Changelog-sourced SCD2 contract (round 5, beyond-survey —
+    plans/history.py source='changelog'): (a) on a MoR table (no
+    write-time feed) the history's is_current slice equals snapshot()
+    and state_at a mid version's frontier equals that version's as-of
+    read; (b) on a changefeed CoW table whose commits == feed batches,
+    the changelog-derived history equals the feed-derived history on
+    the shared columns; (c) after expire the history is SEEDED from
+    the earliest retained snapshot (current slice still exact), and a
+    tombstone-purged delete inside the range refuses loudly while a
+    from_version past the purge works."""
+    import datetime as dtm
+
+    from ..plans.history import state_at
+    from ..plans.target import LocalCowTable
+    from ..testkit.oracle import SPEC_COLUMNS, state_hash
+
+    work = tempfile.mkdtemp(prefix=f"dipper_hcq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=139, n_buckets=8,
+                         chunk_lsn=150, time_travel=True, write_mode="mor")
+    hist = table.history(source="changelog").cache()
+    cur_eq = (state_hash(hist.filter("is_current").select(*SPEC_COLUMNS)
+                         .toPandas())
+              == state_hash(table.snapshot().toPandas()))
+    hist.unpersist()
+    # state_at == as_of needs commit order to agree with the (ts, lsn)
+    # version clock — true for in-order streams, NOT for the disordered
+    # generator (a later commit may apply an event below a mid frontier
+    # on another key).  Pin it on a controlled-clock MoR table.
+    t3 = LocalCowTable.create(spark, os.path.join(work, "clock"),
+                              n_buckets=4, time_travel=True,
+                              write_mode="mor")
+    for i, (text, day) in enumerate([("a1", 1), ("a2", 2), ("a3", 3)]):
+        t3.upsert(spark.createDataFrame(
+            [("hcq-clock", 0, "user", text, dtm.datetime(2027, 3, day)),
+             (f"hcq-other{i}", 0, "user", text, dtm.datetime(2027, 3, day))],
+            ROWS))
+    h3 = t3.history(source="changelog").cache()
+    cols3 = [c for c in SPEC_COLUMNS if c in t3.snapshot().columns]
+    at_eq = True
+    for v in t3.versions()[1:]:
+        snap = t3.read(as_of=v).filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False)))
+        fr = snap.agg(F.max(F.struct(F.col("_op_ts"), F.col("_lsn")))
+                      .alias("m")).first()["m"]
+        at_eq = at_eq and (
+            state_hash(state_at(h3, fr["_op_ts"], fr["_lsn"])
+                       .select(*cols3).toPandas())
+            == state_hash(t3.snapshot(as_of=v).select(*cols3).toPandas()))
+    h3.unpersist()
+    a_ok = cur_eq and at_eq
+
+    cf, _ = _mk_table(spark, os.path.join(work, "cf"), seed=141,
+                      chunk_lsn=200, time_travel=True, changefeed=True)
+    cols = [*SPEC_COLUMNS, "version_op", "effective_from_ts",
+            "effective_from_lsn", "effective_to_ts", "effective_to_lsn",
+            "end_op", "is_current"]
+    b_ok = (state_hash(cf.history().select(*cols).toPandas())
+            == state_hash(cf.history(source="changelog").select(*cols)
+                          .toPandas()))
+
+    table.expire_snapshots(keep_last=3)
+    vs = table.versions()
+    h2 = table.history(source="changelog")
+    seeded = (vs[0] > 0
+              and h2.filter(F.col("batch") == vs[0]).count() > 0
+              and state_hash(h2.filter("is_current").select(*SPEC_COLUMNS)
+                             .toPandas())
+              == state_hash(table.snapshot().toPandas()))
+    t2 = LocalCowTable.create(spark, os.path.join(work, "purge"),
+                              n_buckets=4, time_travel=True)
+    t2.upsert(spark.createDataFrame(
+        [("hcq-k", 0, "user", "doomed", dtm.datetime(2027, 2, 1))], ROWS))
+    t2.tag_snapshot("live")
+    t2.delete_where("conv_id = 'hcq-k'")
+    t2.compact(drop_tombstones=True)
+    t2.expire_snapshots(keep_last=1)
+    refused = False
+    try:
+        t2.history(source="changelog").count()
+    except ValueError:
+        refused = True
+    past = (t2.history(source="changelog",
+                       from_version=t2.versions()[-1])
+            .filter("conv_id = 'hcq-k'").count() == 0)
+    c_ok = seeded and refused and past
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "mor_current_slice_and_state_at boolean, "
+        "equals_feed_history_same_commits boolean, "
+        "seeded_floor_and_purge_refusal boolean")

@@ -2556,16 +2556,22 @@ class LocalCowTable:
         return {"dropped": dropped,
                 "floors": {t: int(v) for t, v in floors.items()}}
 
-    def history(self, scope: str | None = None) -> DataFrame:
-        """SCD2 row-version history derived from the changefeed: one
-        row per key version with effective_from/to (ts, lsn), end_op,
-        and is_current (the is_current slice == snapshot()).  See
-        plans/history.py for semantics, scale, and the retention
-        contract (needs the full feed — raises ChangefeedExpiredError
-        after any expiry)."""
+    def history(self, scope: str | None = None, source: str = "feed",
+                from_version: int | str | None = None) -> DataFrame:
+        """SCD2 row-version history: one row per key version with
+        effective_from/to (ts, lsn), end_op, and is_current (the
+        is_current slice == snapshot()).  source='feed' (default)
+        derives it from the write-time changefeed (needs the full
+        feed — raises ChangefeedExpiredError after any expiry);
+        source='changelog' derives it from per-commit snapshot-diff
+        steps instead, which is how MoR / plain time-travel tables
+        without a feed get history (per-retained-commit resolution,
+        seeded from the earliest retained — or `from_version` —
+        snapshot).  See plans/history.py for semantics and scale."""
         from .history import scd2_history
 
-        return scd2_history(self, scope=scope)
+        return scd2_history(self, scope=scope, source=source,
+                            from_version=from_version)
 
     def changefeed_stream(self, max_files_per_trigger: int | None = None,
                           fail_on_data_loss: bool = True) -> DataFrame:

@@ -130,6 +130,14 @@ def main() -> None:
                          "that point instead of the version rows")
     hi.add_argument("--current-only", action="store_true",
                     help="only open, live versions (== snapshot)")
+    hi.add_argument("--source", default="feed",
+                    choices=["feed", "changelog"],
+                    help="feed = write-time changefeed; changelog = "
+                         "per-commit snapshot diffs (MoR / no-feed "
+                         "tables, needs --time-travel)")
+    hi.add_argument("--from-version", default=None,
+                    help="changelog source: seed from this retained "
+                         "version/tag instead of the earliest")
 
     cn = sub.add_parser("constraint", help="CHECK constraints (data-quality "
                                            "gate on every write path)")
@@ -399,7 +407,11 @@ def main() -> None:
         from dipper_spark.plans.history import state_at
         from dipper_spark.plans.target import LocalCowTable
 
-        h = LocalCowTable(spark, args.table).history()
+        fv = args.from_version
+        if fv is not None and fv.lstrip("-").isdigit():
+            fv = int(fv)
+        h = LocalCowTable(spark, args.table).history(
+            source=args.source, from_version=fv)
         if args.at_ts is not None:
             h = state_at(h, args.at_ts)
         elif args.current_only:
