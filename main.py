@@ -12,7 +12,12 @@ Commands:
   branch   create|drop|list|publish --table DIR          write-audit-publish
   constraint add|drop|list|quarantined --table DIR      CHECK constraints
   vacuum   --table DIR [--ttl-seconds S]                sweep crash debris
-  compact  --table DIR [--drop-tombstones]              file compaction (C17)
+  compact  --table DIR [--drop-tombstones] [--minor]    file compaction (C17)
+  advise   --table DIR                                  maintenance recommendations
+  inspect  --table DIR --what files|history|snapshots|refs|consumers|constraints|schema
+  rollback --table DIR --to V|TAG                       reset data state (new commit)
+  rename-column --table DIR --column OLD --to NEW       field-id rename (metadata-only)
+  drop-column   --table DIR --column NAME               field-id drop (no resurrection)
   rescale  --table DIR --n-buckets N                    online bucket-count change
   mirror   --upstream DIR --table DIR [--n-buckets N]   sync a changefeed replica
   lineage  --table DIR                                  show lineage records
