@@ -189,8 +189,14 @@ PRIORITY = [
     # cdc_metadata_tables (the fourth-wave round-5 surfaces).
     # text_ngram_shingles (shingle family stays continuously verified
     # by the local gate; the similarity stack was sampled green in r4
-    # via minhash/LSH/simhash) ceded its slot to
-
+    # via minhash/LSH/simhash), fn_array_higher_order + fn_map_json
+    # (fn family stays sampled via fn_string/fn_datetime/fn_array_ops)
+    # and stream_session_window (streaming family keeps 4 slots) ceded
+    # the final four slots to cdc_schema_rename_drop,
+    # cdc_minor_compaction, cdc_maintenance_advisor and
+    # cdc_history_changelog (the fifth-wave round-5 surfaces).  All
+    # eleven ceded queries were green at their last driver sample and
+    # remain enforced by tools/check_oracles.py (110/110).
 ]
 
 

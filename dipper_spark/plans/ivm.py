@@ -71,11 +71,19 @@ _N = "_n_live"  # auto-maintained live-row count per group
 
 def consumed_parts(entry) -> tuple[int, set[int]]:
     """(high-watermark, sparse extra ids) of a consumed entry; accepts
-    the legacy plain-list form on read."""
+    the legacy plain-list form on read.  The legacy form is COMPACTED
+    here (dense prefix -> hwm), not just wrapped: returning hwm=-1 for
+    a list that covers batches 0..k would make the retention-hole probe
+    (floor > hwm + 1) spuriously report already-consumed batches as an
+    expired hole."""
     if isinstance(entry, dict):
         return int(entry.get("hwm", -1)), set(entry.get("extra", []))
-    ids = set(entry or [])
-    return -1, ids
+    extra = set(entry or [])
+    hwm = -1
+    while hwm + 1 in extra:
+        hwm += 1
+        extra.discard(hwm)
+    return hwm, extra
 
 
 def mark_consumed(entry, new_ids) -> dict:
@@ -85,6 +93,23 @@ def mark_consumed(entry, new_ids) -> dict:
         hwm += 1
         extra.discard(hwm)
     return {"hwm": hwm, "extra": sorted(extra)}
+
+
+def batch_dir_readable(d: str, consumer: str = "consumer") -> bool:
+    """True when a published feed batch dir holds parquet parts; False
+    for applied-nothing batches (just _SUCCESS — consume the id, read
+    nothing).  A dir removed by a CONCURRENT retention pass between the
+    pending probe and this listing surfaces as the typed retention
+    error, not a raw FileNotFoundError: the dir was pending
+    (unconsumed), so its removal is a real hole."""
+    try:
+        return any(f.endswith(".parquet") for f in os.listdir(d))
+    except FileNotFoundError:
+        raise ChangefeedExpiredError(
+            f"changefeed batch dir {d} was expired by a concurrent "
+            f"retention pass before this {consumer} consumed it — "
+            "re-bootstrap, or register a consumer_name so keep-consumed "
+            "retention holds its batches") from None
 
 
 def pending_feed_batches(table: LocalCowTable, consumed: dict,
@@ -128,13 +153,16 @@ class IncrementalView:
       minus side, so updates that MOVE a row between groups maintain
       both groups correctly).
     aggs: {result_name: row_expression} where the view value is
-      SUM(row_expression) over the group's live rows.  COUNT is the
-      expression "1".
+      SUM(row_expression) over the group's live rows, evaluated as
+      BIGINT (fractional expressions are truncated per row — use
+      `avgs` for fractional means).  COUNT is the expression "1".
     avgs: {result_name: row_expression} maintained as a hidden
       (sum, non-null-count) pair; read() exposes the double ratio
       (null when the group has no non-null values).
     extrema: {result_name: ("min"|"max", row_expression)} maintained
-      by plus-side folding + rescan-on-retraction (module docstring).
+      by plus-side folding + rescan-on-retraction (module docstring);
+      evaluated as BIGINT (truncation toward zero is monotonic, so the
+      result IS the true extremum, cast to long).
     A live-row count `_n_live` is always maintained and groups are
     dropped when it reaches zero (all rows deleted).
     """
@@ -202,11 +230,18 @@ class IncrementalView:
         return out + [_N]
 
     def _sum_exprs(self) -> dict[str, object]:
-        """storage column -> (row expr, contributes-null-as-zero)."""
+        """storage column -> (row expr, contributes-null-as-zero).
+
+        `aggs` (and extrema, elsewhere) evaluate their row expression
+        as BIGINT — the documented integral-SUM contract.  AVG pairs
+        sum as DOUBLE: the surface is advertised as the true ratio, so
+        truncating each row's value before summing would silently
+        floor fractional inputs (the mean of truncations is not the
+        mean)."""
         exprs: dict[str, object] = {n: F.expr(e).cast("long") for n, e in self.aggs.items()}
         for n, e in self.avgs.items():
             s, c = self._avg_cols(n)
-            exprs[s] = F.coalesce(F.expr(e).cast("long"), F.lit(0))
+            exprs[s] = F.coalesce(F.expr(e).cast("double"), F.lit(0.0))
             exprs[c] = F.expr(e).isNotNull().cast("long")
         exprs[_N] = F.lit(1).cast("long")
         return exprs
@@ -237,8 +272,10 @@ class IncrementalView:
 
     # ---------------- read ----------------
     def _stored_schema_ddl(self) -> str:
+        avg_sums = {self._avg_cols(n)[0] for n in self.avgs}
         cols = [f"`{c}` string" for c in self.group_cols]
-        cols += [f"`{n}` long" for n in self._sum_names()]
+        cols += [f"`{n}` {'double' if n in avg_sums else 'long'}"
+                 for n in self._sum_names()]
         cols += [f"`{n}` long" for n in self.extrema]
         return ", ".join(cols)
 
@@ -369,10 +406,7 @@ class IncrementalView:
         base = os.path.join(self.table.root, "_changes")
         dirs = [os.path.join(base, f"scope={tag}", f"batch={b}")
                 for tag, batches in pending for b in batches]
-        # an applied-nothing merge publishes a part-file-less batch dir
-        # (just _SUCCESS): consume the id, read nothing
-        dirs = [d for d in dirs
-                if any(f.endswith(".parquet") for f in os.listdir(d))]
+        dirs = [d for d in dirs if batch_dir_readable(d, consumer="view")]
         if not dirs:
             for tag, batches in pending:
                 meta["consumed"][tag] = self._mark_consumed(

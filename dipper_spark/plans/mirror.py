@@ -43,7 +43,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ivm import consumed_parts, mark_consumed, pending_feed_batches
+from .ivm import (batch_dir_readable, consumed_parts, mark_consumed,
+                  pending_feed_batches)
 from .target import (
     KEY_COLUMNS,
     SYSTEM_FIELDS,
@@ -210,13 +211,20 @@ class MirrorTable:
         merges = 0
         for tag, batches in pending:
             paths = [os.path.join(base, f"scope={tag}", f"batch={b}") for b in batches]
-            feed = (self.spark.read.option("mergeSchema", "true")
-                    .option("basePath", base).parquet(*paths))
-            ev, data_cols = _feed_to_events(feed)
-            collapsed = _collapse_events(ev, data_cols)
-            self._merge_retrying(collapsed, batch_id=max(batches),
-                                 scope=f"mirror/{tag}")
-            merges += 1
+            # applied-nothing batches publish no parquet parts — consume
+            # their ids without a read (a tag whose pending set is ALL
+            # empty must not reach spark.read: zero-file reads cannot
+            # infer a schema); concurrent expiry of a pending dir raises
+            # the typed retention error (batch_dir_readable)
+            paths = [p for p in paths if batch_dir_readable(p, consumer="mirror")]
+            if paths:
+                feed = (self.spark.read.option("mergeSchema", "true")
+                        .option("basePath", base).parquet(*paths))
+                ev, data_cols = _feed_to_events(feed)
+                collapsed = _collapse_events(ev, data_cols)
+                self._merge_retrying(collapsed, batch_id=max(batches),
+                                     scope=f"mirror/{tag}")
+                merges += 1
             meta["consumed"][tag] = mark_consumed(meta["consumed"].get(tag), batches)
             self._write_meta(meta)
         self._ack(meta)

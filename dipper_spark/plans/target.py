@@ -1132,6 +1132,15 @@ class LocalCowTable:
                 os.remove(p)
                 return man["version"]
             new["pending_gc"] = man.get("pending_gc", [])
+            # tags can move WITHOUT a version bump (move_tag — the
+            # changelog-consumer retention pin), so the version CAS
+            # above does not protect them: publishing the branch's
+            # fork-time tags verbatim would silently revert pins moved
+            # on main after the fork, letting a later expire reclaim a
+            # version a consumer still diffs from.  Main's current tag
+            # state wins; tags created on the branch itself publish
+            # unless main holds the same name.
+            new["tags"] = {**new.get("tags", {}), **man.get("tags", {})}
             # _write_manifest targets MAIN on this handle; time_travel
             # retention applies to the published version as usual
             self._write_manifest(new)
@@ -1277,6 +1286,11 @@ class LocalCowTable:
                         live.add(rel)
                     for rel, _sid, _seq in self._delta_entries(bm):
                         live.add(rel)
+            # non-TT tables: files in pending_gc are the ONE-COMMIT
+            # GRACE window (_finish_commit) — a planner holding the
+            # previous manifest may still read them; the next commit
+            # reclaims them.  Expire must not collapse that window.
+            live |= set(man.get("pending_gc", []))
             dropped_files = 0
             if os.path.isdir(os.path.join(self.root, "data")):
                 for fn in os.listdir(os.path.join(self.root, "data")):
@@ -1965,6 +1979,15 @@ class LocalCowTable:
                         f"({base_man['n_buckets']}/v{self._fmt(base_man)} -> "
                         f"{cur['n_buckets']}/v{self._fmt(cur)}) — retry re-plans "
                         "against the new layout")
+                # the batch was filtered/quarantined against the
+                # constraint set read at start: a concurrently
+                # added/dropped constraint means these staged rows were
+                # never validated against the current contract
+                if ((cur.get("check_constraints") or {})
+                        != (base_man.get("check_constraints") or {})):
+                    raise CommitConflict(
+                        f"CHECK constraints changed concurrently on {self.root} "
+                        "— retry re-validates the batch against the current set")
             ver = cur["version"] + 1
             sid = self._register_schema(cur, sj)
             new_deltas = {k: list(v) for k, v in cur.get("deltas", {}).items()}
@@ -2022,6 +2045,8 @@ class LocalCowTable:
         feed_base = os.path.join(self.root, "_changes", f"scope={self._scope_tag(scope)}")
         with self._commit_lock():
             cur = self._load()
+            if cur.get("changefeed"):
+                self._adopt_legacy_scope(scope, cur)
             dup = any(e["batch_id"] == batch_id and e.get("scope", "default") == scope
                       for e in cur["ledger"])
             if api_alloc:
@@ -2058,6 +2083,13 @@ class LocalCowTable:
                         f"({base_man['n_buckets']}/v{self._fmt(base_man)} -> "
                         f"{cur['n_buckets']}/v{self._fmt(cur)}) — retry re-plans "
                         "against the new layout")
+                # same constraint-set guard as _commit_mor: the staged
+                # rows were validated against base_man's constraints
+                if ((cur.get("check_constraints") or {})
+                        != (base_man.get("check_constraints") or {})):
+                    raise CommitConflict(
+                        f"CHECK constraints changed concurrently on {self.root} "
+                        "— retry re-validates the batch against the current set")
                 stale = [b for b in touched
                          if cur["buckets"].get(str(b), []) != base_man["buckets"].get(str(b), [])
                          or cur.get("deltas", {}).get(str(b), [])
@@ -2242,6 +2274,54 @@ class LocalCowTable:
 
         return "s" + _hl.sha256(scope.encode()).hexdigest()[:7]
 
+    @staticmethod
+    def _legacy_scope_tag(scope: str) -> str:
+        """Round-4 tag format: 8 hex chars, no prefix.  An all-digit
+        tag makes Hive partition inference type `scope` as int — the
+        reason round 5 added the 's' prefix."""
+        import hashlib as _hl
+
+        return _hl.sha256(scope.encode()).hexdigest()[:8]
+
+    def _adopt_legacy_scope(self, scope: str, man: dict) -> None:
+        """Lazy migration of a pre-round-5 feed scope: rename
+        _changes/scope=<legacy 8-hex> onto the current 's'+7-hex tag
+        and re-key the scope's retention floor and consumer-group
+        watermarks, so an upgraded table keeps its feed history,
+        floors and acks under the tag every current surface computes
+        (without this, the old dir is silently invisible to scoped
+        reads/expiry forever).  Scope names hash one-way, so adoption
+        happens lazily wherever a scope NAME is presented: merge
+        commits, scoped changefeed() reads, scoped expiry.  Must run
+        under the commit lock; persists the manifest immediately when
+        bookkeeping was re-keyed (version unchanged — administrative,
+        like move_tag).  No-op when no legacy dir or keys exist."""
+        old_tag, new_tag = self._legacy_scope_tag(scope), self._scope_tag(scope)
+        base = os.path.join(self.root, "_changes")
+        old_dir = os.path.join(base, f"scope={old_tag}")
+        new_dir = os.path.join(base, f"scope={new_tag}")
+        if os.path.isdir(old_dir):
+            if not os.path.isdir(new_dir):
+                os.rename(old_dir, new_dir)
+            else:  # both formats present: merge batch dirs (per-scope
+                # ids are monotonic, so names never collide)
+                for b in os.listdir(old_dir):
+                    os.rename(os.path.join(old_dir, b), os.path.join(new_dir, b))
+                os.rmdir(old_dir)
+        meta_changed = False
+        floors = man.get("changefeed_floor", {})
+        if old_tag in floors:
+            floors[new_tag] = max(int(floors.get(new_tag, 0)),
+                                  int(floors.pop(old_tag)))
+            meta_changed = True
+        for entry in man.get("changefeed_consumers", {}).values():
+            if old_tag in entry:
+                hwm = int(entry.pop(old_tag))
+                entry[new_tag] = max(int(entry.get(new_tag, -1)), hwm)
+                meta_changed = True
+        if meta_changed:
+            self._write_manifest(man)
+
     def changefeed(self, since_batch: int | None = None,
                    scope: str | None = None) -> DataFrame:
         """Row-level change stream of a changefeed-enabled table
@@ -2252,7 +2332,8 @@ class LocalCowTable:
         what makes SUM/COUNT aggregates incrementally maintainable,
         see plans/ivm.py), the winning
         (change_ts, change_lsn), plus Hive-partition columns `scope`
-        (8-hex tag) and `batch` for incremental consumption —
+        ('s'+7-hex tag, see _scope_tag) and `batch` for incremental
+        consumption —
         `since_batch` prunes to `batch > since_batch` at the DIRECTORY
         level, so tailing consumers read only new commits.
 
@@ -2271,6 +2352,9 @@ class LocalCowTable:
             raise FileNotFoundError(
                 f"{base} does not exist — was the table created with "
                 f"changefeed=True and has a merge been applied?")
+        if scope is not None:
+            with self._commit_lock():
+                self._adopt_legacy_scope(scope, self._load())
         floors: dict = self._load().get("changefeed_floor", {})
         tags = ([self._scope_tag(scope)] if scope is not None else sorted(
             {d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("scope=")}
@@ -2437,7 +2521,9 @@ class LocalCowTable:
                           T.StructField("scope", T.StringType(), True),
                           T.StructField("batch", T.IntegerType(), True)])
             return self.spark.createDataFrame([], empty)
-        return self.spark.read.parquet(base)
+        # mergeSchema: quarantine batches written before an ADD-column
+        # evolution lack the new column — same reasoning as changefeed()
+        return self.spark.read.option("mergeSchema", "true").parquet(base)
 
     def vacuum(self, ttl_seconds: int = 3600) -> dict:
         """Sweep crash debris older than `ttl_seconds` (Delta VACUUM /
@@ -2518,6 +2604,8 @@ class LocalCowTable:
                     "keep_consumed retention needs at least one registered "
                     "consumer (register_consumer / ack_consumer) — with none, "
                     "no batch is provably safe to expire")
+            if scope is not None:
+                self._adopt_legacy_scope(scope, man)
             if os.path.isdir(base):
                 for d in sorted(os.listdir(base)):
                     if not d.startswith("scope="):

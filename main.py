@@ -529,6 +529,13 @@ def main() -> None:
     elif args.cmd == "expire":
         from dipper_spark.plans.target import LocalCowTable
 
+        if (args.changefeed_keep_batches is not None
+                and args.changefeed_keep_consumed):
+            raise SystemExit(
+                "pass at most one of --changefeed-keep-batches / "
+                "--changefeed-keep-consumed (keep-batches could expire "
+                "batches a lagging registered consumer still needs, "
+                "defeating the keep-consumed safety you also asked for)")
         t = LocalCowTable(spark, args.table)
         out = t.expire_snapshots(
             keep_last=args.keep_last,
