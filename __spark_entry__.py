@@ -111,6 +111,7 @@ SELECT CAST(634 AS BIGINT) AS final_rows,
 # DuckDB compare — 110/110 green).
 PRIORITY = [
     # (a) new round-5 contracts
+    "cdc_clone_table",
     "cdc_history_changelog",
     "cdc_maintenance_advisor",
     "cdc_minor_compaction",
@@ -149,7 +150,6 @@ PRIORITY = [
     "join_outer_left",
     "join_outer_full",
     "join_semi",
-    "join_cross",
     "join_theta_nonequi",
     "agg_distinct",
     "agg_rollup",
@@ -194,9 +194,12 @@ PRIORITY = [
     # and stream_session_window (streaming family keeps 4 slots) ceded
     # the final four slots to cdc_schema_rename_drop,
     # cdc_minor_compaction, cdc_maintenance_advisor and
-    # cdc_history_changelog (the fifth-wave round-5 surfaces).  All
-    # eleven ceded queries were green at their last driver sample and
-    # remain enforced by tools/check_oracles.py (110/110).
+    # cdc_history_changelog (the fifth-wave round-5 surfaces).
+    # join_cross (trivial cartesian contract, green r3, untouched;
+    # join family keeps 6 slots) ceded its slot to cdc_clone_table
+    # (the sixth-wave round-5 surface).  All twelve ceded queries were
+    # green at their last driver sample and remain enforced by
+    # tools/check_oracles.py (111/111).
 ]
 
 

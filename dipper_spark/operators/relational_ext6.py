@@ -1192,3 +1192,64 @@ def cdc_history_changelog(spark, d):
         "mor_current_slice_and_state_at boolean, "
         "equals_feed_history_same_commits boolean, "
         "seeded_floor_and_purge_refusal boolean")
+
+
+@q("cdc_clone_table", """
+SELECT CAST(1 AS BOOLEAN) AS clone_equals_source,
+       CAST(1 AS BOOLEAN) AS zero_copy_shared_inodes,
+       CAST(1 AS BOOLEAN) AS diverge_isolated_both_ways,
+       CAST(1 AS BOOLEAN) AS source_gc_cannot_break_clone
+""")
+def cdc_clone_table(spark, d):
+    """Table-clone contract (round 5, beyond-survey — target.py
+    LocalCowTable.clone, the Delta CLONE / Iceberg snapshot-export
+    shape): (a) a shallow clone's snapshot equals the source exactly;
+    (b) it is ZERO-copy — every live data file in the clone is the
+    same inode as the source's (hardlink, st_nlink >= 2); (c) writes
+    after the fork are isolated in BOTH directions (the engine's
+    immutable uuid-named files give copy-on-write for free); (d) the
+    source's own commit-time GC (non-time-travel: superseded files are
+    deleted one commit later) can never break the clone — the shared
+    inode survives until both sides drop their directory entry."""
+    import datetime as dtm
+
+    from ..plans.target import LocalCowTable  # noqa: F401 (parity import)
+
+    work = tempfile.mkdtemp(prefix=f"dipper_cpq_{uuid.uuid4().hex[:6]}_")
+    t, _ = _mk_table(spark, work, seed=131, n_buckets=8)  # non-TT CoW
+    h0 = _state_hash_hex(t)
+    c = t.clone(os.path.join(work, "clone"))
+
+    a_ok = _state_hash_hex(c) == h0
+
+    rels = [r for r, _s in c._entries(c._load())]
+    b_ok = bool(rels) and all(
+        os.stat(os.path.join(c.root, r)).st_nlink >= 2
+        and os.path.samefile(os.path.join(c.root, r), os.path.join(t.root, r))
+        for r in rels)
+
+    ts = dtm.datetime(2027, 5, 1)
+    c.upsert(spark.createDataFrame(
+        [("cp-clone", 0, "user", "clone-only", ts)], ROWS))
+    src_unchanged = _state_hash_hex(t) == h0
+    h_c = _state_hash_hex(c)
+    t.upsert(spark.createDataFrame(
+        [("cp-src", 0, "user", "src-only", ts)], ROWS))
+    c_ok = src_unchanged and _state_hash_hex(c) == h_c
+
+    # two more source commits: the first supersedes pre-clone bucket
+    # files (pending_gc), the second actually deletes them from the
+    # SOURCE root — the clone still reads its exact state through the
+    # surviving hardlinked inodes
+    t.upsert(spark.createDataFrame(
+        [("cp-src", 1, "user", "gc one", ts)], ROWS))
+    t.upsert(spark.createDataFrame(
+        [("cp-src", 2, "user", "gc two", ts)], ROWS))
+    d_ok = _state_hash_hex(c) == h_c
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok), bool(d_ok))],
+        "clone_equals_source boolean, "
+        "zero_copy_shared_inodes boolean, "
+        "diverge_isolated_both_ways boolean, "
+        "source_gc_cannot_break_clone boolean")

@@ -1212,6 +1212,98 @@ class LocalCowTable:
             self._finish_commit(new, [])
             return new["version"]
 
+    # ---------------- clone (round 5) ----------------
+    def clone(self, dest_root: str, deep: bool = False) -> "LocalCowTable":
+        """Clone the table's CURRENT state into a new independent root —
+        the Delta `CLONE` / Iceberg snapshot-export shape, for forking a
+        dev/test copy or migrating a table without re-replaying its log.
+
+        Shallow (default, zero-copy): live data files are HARDLINKED
+        into the clone's data/ dir — no bytes move, and copy-on-write
+        falls out of the engine's own invariants: data files are
+        immutable and uuid-named, each side's later commits write NEW
+        files under its own root, and either side's GC (commit-time,
+        compact, expire, vacuum) only unlinks its own directory entry —
+        the shared inode survives until BOTH sides drop it, so neither
+        side can break the other, ever.  `deep=True` copies bytes
+        instead (no shared inodes; also the automatic fallback when the
+        destination is on a different filesystem, where hardlinks are
+        impossible).
+
+        Carried: current data state (base + MoR delta files), schema
+        history + field ids, bucket layout + per-file pruning stats,
+        write_mode, CHECK constraints, the changefeed/time_travel
+        flags, and the commit ledger + per-scope batch-id sequence —
+        so a re-delivered batch is still skipped in the clone and new
+        feed batch ids never collide with pre-clone history.
+
+        NOT carried (the clone is a NEW table at the source's current
+        state, not a shared-history sibling): retained older versions
+        (as_of below the clone point raises "not retained"), tags and
+        branches, consumer groups, quarantined rows, and changefeed
+        HISTORY — _changes/ is not copied; instead every scope's
+        retention floor is set to its next batch id, so a consumer
+        asking for pre-clone batches gets the typed
+        ChangefeedExpiredError (-> bootstrap from snapshot()), never a
+        silently truncated feed.
+
+        Runs under the SOURCE's commit lock (the link pass is metadata-
+        only — O(files) inode ops, no data read — so the critical
+        section stays short even for large tables); this blocks a
+        concurrent commit's GC from removing a live file mid-clone.
+        Refuses branch handles (fast_forward first), a non-empty or
+        nested destination, and cross-filesystem shallow clones fall
+        back to copies per-file."""
+        self._require_main("clone")
+        dest_root = os.path.abspath(dest_root)
+        src_root = os.path.abspath(self.root)
+        if dest_root == src_root:
+            raise ValueError("clone destination is the source itself")
+        if (dest_root.startswith(src_root + os.sep)
+                or src_root.startswith(dest_root + os.sep)):
+            raise ValueError("clone destination must not nest inside the "
+                             "source root (or vice versa)")
+        if os.path.exists(dest_root) and os.listdir(dest_root):
+            raise ValueError(f"clone destination {dest_root} exists and is "
+                             "not empty")
+        os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
+        with self._commit_lock():
+            man = self._load()
+            rels = [rel for rel, _sid in self._entries(man)]
+            rels += [rel for rel, _sid, _seq in self._delta_entries(man)]
+            for rel in rels:
+                src = os.path.join(self.root, rel)
+                dst = os.path.join(dest_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if deep:
+                    shutil.copy2(src, dst)
+                else:
+                    try:
+                        os.link(src, dst)  # zero-copy shared immutable inode
+                    except OSError:  # cross-device / FS without hardlinks
+                        shutil.copy2(src, dst)
+            new = {k: v for k, v in man.items()
+                   if k not in ("tags", "changefeed_consumers", "pending_gc",
+                                "changefeed_floor", "branch_name",
+                                "fork_version")}
+            if man.get("changefeed"):
+                # floor = next batch id per scope: API scopes from the
+                # persisted sequence, engine scopes from the ledger tail
+                # (older-than-ledger batches are below the floor anyway)
+                nxt = {s: int(v) for s, v in man.get("scope_seq", {}).items()}
+                for e in man.get("ledger", []):
+                    s = e.get("scope", "default")
+                    nxt[s] = max(nxt.get(s, 0), int(e["batch_id"]) + 1)
+                floors = {self._scope_tag(s): n for s, n in nxt.items() if n > 0}
+                if floors:
+                    new["changefeed_floor"] = floors
+            new["cloned_from"] = {"root": src_root, "version": man["version"],
+                                  "deep": bool(deep)}
+        out = LocalCowTable(self.spark, dest_root)
+        with out._commit_lock():
+            out._write_manifest(new)
+        return out
+
     def _resolve_as_of(self, as_of: int | str) -> int:
         if isinstance(as_of, str):
             tags = self._load().get("tags", {})

@@ -247,6 +247,16 @@ def main() -> None:
                     type=lambda v: int(v) if v.lstrip("-").isdigit() else v,
                     help="retained version int or snapshot tag name")
 
+    cp = sub.add_parser("clone", help="fork the table's current state into a "
+                                      "new independent root (Delta CLONE): "
+                                      "shallow = zero-copy hardlinks, "
+                                      "--deep copies bytes")
+    cp.add_argument("--table", required=True, help="source table root")
+    cp.add_argument("--dest", required=True, help="destination root "
+                                                  "(must not exist / be empty)")
+    cp.add_argument("--deep", action="store_true",
+                    help="copy bytes instead of hardlinking")
+
     v = sub.add_parser("versions", help="retained time-travel versions")
     v.add_argument("--table", required=True)
 
@@ -522,6 +532,14 @@ def main() -> None:
         new_v = t.rollback(args.to)
         print(json.dumps({"rolled_back_to": t._load().get("rolled_back_to"),
                           "new_version": new_v}))
+    elif args.cmd == "clone":
+        from dipper_spark.plans.target import LocalCowTable
+
+        src = LocalCowTable(spark, args.table)
+        out = src.clone(args.dest, deep=args.deep)
+        print(json.dumps({"cloned_from": out._load()["cloned_from"],
+                          "dest": out.root,
+                          "rows": out.snapshot().count()}))
     elif args.cmd == "versions":
         from dipper_spark.plans.target import LocalCowTable
 
