@@ -192,3 +192,44 @@ def test_clone_refusals(spark, tmp_path):
     b = LocalCowTable(spark, t.root, branch="wip")
     with pytest.raises(ValueError, match="main handle"):
         b.clone(str(tmp_path / "frombranch"))
+
+
+def test_clone_under_concurrent_writer_is_consistent_snapshot(spark, tmp_path):
+    """clone() links files under the SOURCE commit lock, so a clone
+    taken while a writer hammers the source must be an exact,
+    CONSISTENT snapshot of the version it records in cloned_from —
+    never a torn mix of two commits and never a FileNotFound from a
+    concurrent commit's GC.  Time-travel source pins the expectation:
+    clone hash == source.snapshot(as_of=cloned_from.version) hash."""
+    import threading
+
+    t, _ = _mk(spark, tmp_path, seed=79, time_travel=True)
+    stop = threading.Event()
+    errors: list = []
+
+    def writer():
+        try:
+            h = LocalCowTable(spark, t.root)
+            b = 0
+            while not stop.is_set() and b < 40:
+                h.upsert(spark.createDataFrame(
+                    [(f"cc-{b % 5}", 0, "user", f"b{b}",
+                      TS + dt.timedelta(minutes=b))], ROWS))
+                b += 1
+        except Exception as e:
+            errors.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        clones = []
+        for i in range(4):
+            c = t.clone(str(tmp_path / f"cc_clone{i}"))
+            clones.append((c, c._load()["cloned_from"]["version"]))
+    finally:
+        stop.set()
+        th.join()
+    assert not errors, errors
+    for c, v in clones:
+        assert _h(c) == state_hash(t.snapshot(as_of=v).toPandas()), \
+            f"clone of version {v} is not that version's snapshot"
