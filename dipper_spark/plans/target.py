@@ -1213,10 +1213,19 @@ class LocalCowTable:
             return new["version"]
 
     # ---------------- clone (round 5) ----------------
-    def clone(self, dest_root: str, deep: bool = False) -> "LocalCowTable":
+    def clone(self, dest_root: str, deep: bool = False,
+              as_of: int | str | None = None) -> "LocalCowTable":
         """Clone the table's CURRENT state into a new independent root —
         the Delta `CLONE` / Iceberg snapshot-export shape, for forking a
         dev/test copy or migrating a table without re-replaying its log.
+
+        `as_of` (version int or snapshot tag, time-travel tables only —
+        Delta's `CLONE ... VERSION AS OF`) forks a RETAINED version's
+        full manifest state instead: that version's files, schema
+        history, ledger and batch sequence.  Retention guarantees the
+        files still exist (expire keeps every file any retained
+        manifest references), and the commit lock holds a concurrent
+        expire off for the duration of the link pass.
 
         Shallow (default, zero-copy): live data files are HARDLINKED
         into the clone's data/ dir — no bytes move, and copy-on-write
@@ -1268,7 +1277,8 @@ class LocalCowTable:
                              "not empty")
         os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
         with self._commit_lock():
-            man = self._load()
+            man = (self._load() if as_of is None
+                   else self._load_as_of(self._resolve_as_of(as_of)))
             rels = [rel for rel, _sid in self._entries(man)]
             rels += [rel for rel, _sid, _seq in self._delta_entries(man)]
             for rel in rels:

@@ -256,6 +256,10 @@ def main() -> None:
                                                   "(must not exist / be empty)")
     cp.add_argument("--deep", action="store_true",
                     help="copy bytes instead of hardlinking")
+    cp.add_argument("--as-of", default=None,
+                    type=lambda v: int(v) if v.lstrip("-").isdigit() else v,
+                    help="fork a retained time-travel version (int) or "
+                         "snapshot tag instead of the current state")
 
     v = sub.add_parser("versions", help="retained time-travel versions")
     v.add_argument("--table", required=True)
@@ -536,7 +540,7 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         src = LocalCowTable(spark, args.table)
-        out = src.clone(args.dest, deep=args.deep)
+        out = src.clone(args.dest, deep=args.deep, as_of=args.as_of)
         print(json.dumps({"cloned_from": out._load()["cloned_from"],
                           "dest": out.root,
                           "rows": out.snapshot().count()}))

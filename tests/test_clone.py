@@ -233,3 +233,32 @@ def test_clone_under_concurrent_writer_is_consistent_snapshot(spark, tmp_path):
     for c, v in clones:
         assert _h(c) == state_hash(t.snapshot(as_of=v).toPandas()), \
             f"clone of version {v} is not that version's snapshot"
+
+
+def test_clone_as_of_forks_a_retained_version(spark, tmp_path):
+    """clone(as_of=) — Delta 'CLONE ... VERSION AS OF': fork a retained
+    version's full manifest state (files, schema history, ledger)."""
+    t, _ = _mk(spark, tmp_path, seed=80, time_travel=True)
+    v1 = t._load()["version"]
+    h1 = _h(t)
+    t.tag_snapshot("golden")
+    t.upsert(spark.createDataFrame([("ao-a", 0, "user", "later", TS)], ROWS))
+    assert _h(t) != h1
+
+    c = t.clone(str(tmp_path / "ao_clone"), as_of=v1)
+    assert _h(c) == h1
+    assert c._load()["cloned_from"]["version"] == v1
+    assert c.versions() == [v1]
+    # tag names resolve against the SOURCE's tags
+    c2 = t.clone(str(tmp_path / "ao_tag"), as_of="golden")
+    assert _h(c2) == h1
+    # the fork is independent: writes to it never reach the source
+    c.upsert(spark.createDataFrame([("ao-b", 0, "user", "fork", TS)], ROWS))
+    assert t.snapshot().filter("conv_id = 'ao-b'").count() == 0
+
+    # non-retained version and non-TT source refuse crisply
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.clone(str(tmp_path / "ao_bad"), as_of=v1 + 100)
+    t2, _ = _mk(spark, tmp_path, seed=81)
+    with pytest.raises(FileNotFoundError):
+        t2.clone(str(tmp_path / "ao_nontt"), as_of=0)
