@@ -1253,3 +1253,66 @@ def cdc_clone_table(spark, d):
         "zero_copy_shared_inodes boolean, "
         "diverge_isolated_both_ways boolean, "
         "source_gc_cannot_break_clone boolean")
+
+
+@q("cdc_bloom_pruned_lookup", """
+SELECT CAST(1 AS BOOLEAN) AS blooms_cover_live_files,
+       CAST(1 AS BOOLEAN) AS bloom_prunes_beyond_ranges,
+       CAST(1 AS BOOLEAN) AS lookup_exact_under_pruning
+""")
+def cdc_bloom_pruned_lookup(spark, d):
+    """Per-file conv_id Bloom-filter contract (round 5, beyond-survey —
+    plans/target.py compute_stats/_bloom_build/_prune_man_by_conv, the
+    Iceberg compute_table_stats / Puffin-blob shape): (a) one
+    maintenance pass records a bloom for EVERY live data/delta file
+    and a second pass is a no-op (idempotent, no version bump); (b) a
+    lookup of a conv_id absent from the table but INSIDE the global
+    conv range prunes strictly more files than min/max range stats
+    alone can; (c) pruned lookups stay exact — a present conv returns
+    precisely the snapshot's rows (no false negatives), the absent
+    conv returns zero rows, and after a compaction (fresh files, no
+    blooms yet) plus re-analyze the same holds."""
+    from ..plans.target import LocalCowTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_blq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=117, chunk_lsn=400, n_buckets=32)
+
+    def rels(man):
+        out = [r for r, _s in LocalCowTable._entries(man)]
+        out += [r for r, _s, _v in LocalCowTable._delta_entries(man)]
+        return out
+
+    def kept(man, conv):
+        return len(rels(table._prune_man_by_conv(man, conv)))
+
+    man0 = table._load()
+    absent = "conv00000007x"  # inside [min conv, max conv], never written
+    range_only = kept(man0, absent)
+    res1 = table.compute_stats()
+    man1 = table._load()
+    res2 = table.compute_stats()
+    a_ok = (res1["computed"] == len(rels(man1)) > 0
+            and all("bloom" in man1["file_stats"][r] for r in rels(man1))
+            and res2["computed"] == 0
+            and table._load()["version"] == man1["version"])
+
+    b_ok = kept(man1, absent) < range_only
+
+    def exact(conv):
+        got = table.lookup(conv).orderBy("turn_idx").toPandas()
+        want = (table.snapshot().filter(F.col("conv_id") == conv)
+                .orderBy("turn_idx").toPandas())
+        return (len(want) > 0
+                and got["turn_idx"].tolist() == want["turn_idx"].tolist()
+                and got["text"].tolist() == want["text"].tolist())
+
+    c_ok = exact("conv00000007") and table.lookup(absent).count() == 0
+    table.compact()
+    table.compute_stats()
+    c_ok = c_ok and exact("conv00000007") and table.lookup(absent).count() == 0
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "blooms_cover_live_files boolean, "
+        "bloom_prunes_beyond_ranges boolean, "
+        "lookup_exact_under_pruning boolean")

@@ -151,6 +151,25 @@ def advise(table) -> DataFrame:
                 "files and the shuffle width under-uses the cluster",
             ))
 
+    # ---- bloom coverage -> compute_stats (analyze) ----------------------
+    from .target import LocalCowTable
+    all_rels = [r for r, _s in LocalCowTable._entries(man)]
+    all_rels += [r for r, _s, _v in LocalCowTable._delta_entries(man)]
+    stats = man.get("file_stats", {})
+    unbloomed = [r for r in all_rels if "bloom" not in stats.get(r, {})]
+    # only nag tables that opted into stats (compute_stats ran at least
+    # once) — a never-analyzed table is healthy without blooms
+    if man.get("analyzed") and all_rels and len(unbloomed) * 2 > len(all_rels):
+        rows.append((
+            "analyze",
+            f"{len(unbloomed)}/{len(all_rels)} files",
+            "low",
+            float(len(unbloomed)),
+            "most live files carry no conv_id Bloom filter — point "
+            "lookups scan every candidate file; one compute_stats() "
+            "pass restores planning-time file pruning",
+        ))
+
     # ---- crash debris -> vacuum ----------------------------------------
     try:
         debris = [d for d in os.listdir(root)

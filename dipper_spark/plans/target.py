@@ -45,7 +45,9 @@ Scale notes (10^10 events / 100 TB):
 
 from __future__ import annotations
 
+import base64
 import fcntl
+import hashlib
 import json
 import re
 import os
@@ -83,6 +85,67 @@ _WIDENINGS = {("integer", "long"), ("float", "double"), ("integer", "double")}
 # MERGE ON clause) and engine-managed system columns.  They carry no
 # field ids and always resolve by their canonical names.
 _NO_RENAME = set(KEY_COLUMNS) | {f.name for f in SYSTEM_FIELDS}
+
+
+# ---------------- per-file conv_id Bloom filters (round 5) ----------------
+# Iceberg stores value-membership sketches in Puffin sidecar blobs,
+# computed by a separate `compute_table_stats` maintenance action —
+# NOT on the write path — and planning consults them to skip files a
+# predicate value can't be in.  Same split here: `compute_stats()`
+# builds one small Bloom filter over each live file's DISTINCT conv
+# ids (commits stay footer-stats-only and fast), and conv lookups test
+# it after the min/max range check.  On a hash-bucketed base the conv
+# *range* of a file is nearly always [first conv, last conv] — hashing
+# mixes conversations — so range stats only ever prune tiny MoR delta
+# files; the Bloom is what lets a point lookup skip base files too.
+# Hashing is pure-Python blake2b (deterministic everywhere; the
+# per-file distinct-conv sets these digest are small by construction).
+
+_BLOOM_K = 4  # probes per value; with m >= 10 bits/value fpp ~ 1.2%
+_BLOOM_MAX_DISTINCT = 8192  # beyond this a file-level bloom is noise
+_BLOOM_MAX_BITS = 1 << 16
+
+
+def _bloom_probes(value: str, m: int) -> list[int]:
+    """k bit positions via Kirsch-Mitzenmacher double hashing over the
+    two 64-bit halves of blake2b-128 (h2 forced odd so, m being a
+    power of two, the probe stride never degenerates)."""
+    d = hashlib.blake2b(value.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values) -> dict | None:
+    """Bloom dict for an iterable of conv ids: m sized to >= 10 bits
+    per distinct value (power of two, capped).  A file with more
+    distinct convs than the cap gets a `{"m": 0}` saturated marker —
+    recorded so compute_stats never re-reads it, never pruned on."""
+    vals = {v for v in values if v is not None}
+    if not vals:
+        return None
+    n = len(vals)
+    if n > _BLOOM_MAX_DISTINCT:
+        return {"m": 0, "n": n}
+    m = 256
+    while m < 10 * n and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    bits = bytearray(m // 8)
+    for v in vals:
+        for p in _bloom_probes(v, m):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "n": n,
+            "bits": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_maybe_contains(bloom: dict | None, value: str) -> bool:
+    """False only when the file provably does not contain `value`.
+    Absent or saturated blooms never prune (True)."""
+    if not bloom or not bloom.get("m"):
+        return True
+    bits = base64.b64decode(bloom["bits"])
+    return all(bits[p >> 3] & (1 << (p & 7))
+               for p in _bloom_probes(value, bloom["m"]))
 
 
 def _scan_race(e: BaseException) -> bool:
@@ -2943,18 +3006,108 @@ class LocalCowTable:
         live |= {rel for rel, _sid, _seq in self._delta_entries(cur)}
         cur["file_stats"] = {r: v for r, v in stats.items() if r in live}
 
+    def compute_stats(self) -> dict:
+        """Build a conv_id Bloom filter for every live data/delta file
+        that doesn't have one — Iceberg's `compute_table_stats`
+        procedure (Puffin blob shape), run as MAINTENANCE so the write
+        path stays footer-stats-only.  Conv lookups then skip base
+        files at planning time (`_prune_man_by_conv`), which the wide
+        hash-mixed conv *ranges* of base files never allow.
+
+        Distributed: one column-pruned Spark job reads ONLY conv_id
+        from the target files, reduces to per-file distinct convs (a
+        shuffle bounded by files x distinct-convs-per-file), and builds
+        each file's bloom in an Arrow-batched applyInPandas group —
+        the driver collects one small row per file, never values.  The
+        commit is a metadata-only manifest update under the commit
+        lock; files replaced by a concurrent writer in the meantime
+        are skipped (their stats entries died with them), so this
+        commit commutes with everything and never raises
+        CommitConflict.  Idempotent: saturated files (> _BLOOM_MAX_DISTINCT
+        convs) get a marker so they are never re-read."""
+        man = self._load()
+        rels = [r for r, _sid in self._entries(man)]
+        rels += [r for r, _sid, _seq in self._delta_entries(man)]
+        stats0 = man.get("file_stats", {})
+        targets = [r for r in rels if "bloom" not in stats0.get(r, {})]
+        if not targets:
+            return {"files": len(rels), "computed": 0, "saturated": 0}
+
+        import pandas as pd  # noqa: F811 — executor-side builder below
+
+        sdf = (self.spark.read.schema("conv_id string")
+               .parquet(*[os.path.join(self.root, r) for r in targets])
+               .select(F.input_file_name().alias("f"), "conv_id")
+               .distinct())
+
+        def build(key, pdf):
+            bl = _bloom_build(pdf["conv_id"])
+            return pd.DataFrame({"f": [key[0]], "bloom": [json.dumps(bl)]})
+
+        rows = (sdf.groupBy("f").applyInPandas(build, "f string, bloom string")
+                .collect())  # one row per file: bounded metadata
+        root_abs = os.path.realpath(self.root)
+        by_rel: dict[str, dict | None] = {}
+        for r in rows:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            by_rel[os.path.relpath(os.path.realpath(p), root_abs)] = (
+                json.loads(r["bloom"]))
+
+        computed = saturated = 0
+        with self._commit_lock():
+            cur = self._load()
+            live = {rel for rel, _sid in self._entries(cur)}
+            live |= {rel for rel, _sid, _seq in self._delta_entries(cur)}
+            stats = dict(cur.get("file_stats", {}))
+            for rel, bl in by_rel.items():
+                if rel not in live or bl is None:
+                    continue
+                ent = dict(stats.get(rel) or {})
+                if "bloom" in ent:
+                    continue
+                if "turn" not in ent:
+                    fs = self._file_key_stats(os.path.join(self.root, rel))
+                    if fs:
+                        ent.update(fs)
+                ent["bloom"] = bl
+                stats[rel] = ent
+                computed += 1
+                saturated += int(not bl.get("m"))
+            if computed:
+                cur["file_stats"] = stats
+                # opt-in marker: the advisor only nags about stale bloom
+                # coverage on tables that have been analyzed at least
+                # once (Iceberg tables likewise only carry staleness
+                # once a stats file exists)
+                cur["analyzed"] = True
+                cur["version"] += 1
+                self._write_manifest(cur)
+        return {"files": len(rels), "computed": computed,
+                "saturated": saturated}
+
     def _prune_man_by_conv(self, man: dict, conv_id: str) -> dict:
         """Manifest copy whose file lists keep only files whose
         recorded conv_id range covers `conv_id` (files without stats
         are kept).  Driver-side dict work — no I/O.  On the
         hash-bucketed base this range is usually wide (hashing mixes
         convs), so the file-range check mostly pays on small MoR delta
-        files; the big planning win is _candidate_buckets below."""
+        files; the big planning win is _candidate_buckets below — and,
+        where compute_stats() has run, the per-file conv Bloom filter,
+        which prunes base files the range check never can."""
         stats = man.get("file_stats", {})
 
         def keep(rel: str) -> bool:
             s = stats.get(rel)
-            return s is None or (s["conv"][0] <= conv_id <= s["conv"][1])
+            if s is None:
+                return True
+            rng = s.get("conv")
+            if rng is not None and not (rng[0] <= conv_id <= rng[1]):
+                return False
+            return _bloom_maybe_contains(s.get("bloom"), conv_id)
 
         m2 = dict(man)
         m2["buckets"] = {
@@ -2990,7 +3143,9 @@ class LocalCowTable:
         rels += [rel for rel, _sid, _seq in self._delta_entries(man)]
         if not rels:
             return None
-        if any(rel not in stats for rel in rels):
+        # bloom-only entries (compute_stats on a footer-statless file)
+        # don't carry a turn range — treat them as unstatted here
+        if any("turn" not in stats.get(rel, {}) for rel in rels):
             return None
         lo = min(int(stats[r]["turn"][0]) for r in rels)
         hi = max(int(stats[r]["turn"][1]) for r in rels)

@@ -226,6 +226,12 @@ def main() -> None:
                                        "retention, layout, vacuum")
     ad.add_argument("--table", required=True)
 
+    an = sub.add_parser("analyze", help="compute per-file conv_id Bloom "
+                                        "filters for planning-time lookup "
+                                        "pruning (Iceberg compute_table_stats"
+                                        " / Puffin shape)")
+    an.add_argument("--table", required=True)
+
     rc = sub.add_parser("rename-column", help="rename a data column "
                                               "(metadata-only; Iceberg "
                                               "field-id semantics)")
@@ -517,6 +523,10 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         LocalCowTable(spark, args.table).advise().show(50, truncate=False)
+    elif args.cmd == "analyze":
+        from dipper_spark.plans.target import LocalCowTable
+
+        print(json.dumps(LocalCowTable(spark, args.table).compute_stats()))
     elif args.cmd == "rename-column":
         from dipper_spark.plans.target import LocalCowTable
 
