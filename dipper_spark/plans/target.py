@@ -3271,9 +3271,27 @@ class LocalCowTable:
     # ---------------- maintenance (op C17) ----------------
     def compact(self, drop_tombstones: bool = False, *,
                 buckets: list[int] | None = None, minor: bool = False,
-                min_files: int = 2) -> int:
+                min_files: int = 2, sort: bool = False) -> int:
         """Rewrite buckets into single fresh files.  Returns the number
         of buckets rewritten.
+
+        `sort=True` (Iceberg rewrite_data_files-with-sort-order shape)
+        GUARANTEES each rewritten bucket's rows are ordered by
+        (conv_id, turn_idx) — a per-partition sort inside the rewrite's
+        existing shuffle, zero extra shuffle.  Sorted files keep the
+        parquet row-group min/max tight on conv_id (pushdown prunes
+        row groups inside a file), cluster a conversation's turns
+        adjacently, and cheapen snapshot()'s ordered output.  Honest
+        caveat: TODAY the engine's rewrites come out key-sorted anyway
+        — max_by over a struct is not hash-aggregable, so every LWW
+        resolution is a SortAggregate on the key, and the write's
+        repartition elides into the agg's own exchange, preserving
+        that order — but that is Catalyst's incidental physical choice
+        (a future hash-capable max_by, or the MoR broadcast-resolve
+        plan under different stats, silently loses it).  sort=True
+        turns the accident into a contract, which is exactly what an
+        Iceberg sort order is.  Opt-in: the sort costs CPU at
+        maintenance time and merge writes don't re-establish it.
 
         Default (major) form rewrites EVERY bucket — it reads every
         row, folds all outstanding MoR deltas, and doubles as the
@@ -3303,20 +3321,20 @@ class LocalCowTable:
             for attempt in range(self.COMMIT_RETRIES):
                 try:
                     return self._compact_minor_once(drop_tombstones, buckets,
-                                                    min_files)
+                                                    min_files, sort=sort)
                 except CommitConflict:
                     if attempt == self.COMMIT_RETRIES - 1:
                         raise
         for attempt in range(self.COMMIT_RETRIES):
             try:
-                return self._compact_once(drop_tombstones)
+                return self._compact_once(drop_tombstones, sort=sort)
             except CommitConflict:
                 if attempt == self.COMMIT_RETRIES - 1:
                     raise
 
     def _compact_minor_once(self, drop_tombstones: bool,
                             bucket_ids: list[int] | None,
-                            min_files: int) -> int:
+                            min_files: int, sort: bool = False) -> int:
         man = self._load()
         if man["schema"] is None:
             return 0
@@ -3351,7 +3369,10 @@ class LocalCowTable:
         # same one-file-per-bucket shape as the merge write: partition i
         # holds exactly bucket i (murmur3 pmod); unselected buckets are
         # simply absent from the frame, so their partitions are empty
-        df.repartition(nb, *KEY_COLUMNS).write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        out = df.repartition(nb, *KEY_COLUMNS)
+        if sort:
+            out = out.sortWithinPartitions(*KEY_COLUMNS)
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         try:
             with self._commit_lock():
                 cur = self._load()
@@ -3438,7 +3459,8 @@ class LocalCowTable:
                 if attempt == self.COMMIT_RETRIES - 1:
                     raise
 
-    def _compact_once(self, drop_tombstones: bool, new_n: int | None = None) -> int:
+    def _compact_once(self, drop_tombstones: bool, new_n: int | None = None,
+                      sort: bool = False) -> int:
         man = self._load()
         if man["schema"] is None:
             if new_n is not None:  # empty table: pure metadata rescale
@@ -3461,7 +3483,10 @@ class LocalCowTable:
         tmp = os.path.join(self.root, f"_tmp_compact_{uuid.uuid4().hex[:8]}")
         # repartition on the KEY with nb partitions: partition i holds
         # exactly bucket i (same murmur3 pmod), one file per bucket
-        df.repartition(nb, *KEY_COLUMNS).write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+        out = df.repartition(nb, *KEY_COLUMNS)
+        if sort:
+            out = out.sortWithinPartitions(*KEY_COLUMNS)
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
         try:
             with self._commit_lock():
                 cur = self._load()

@@ -175,6 +175,10 @@ def main() -> None:
     c.add_argument("--min-files", type=int, default=2,
                    help="minor selection: buckets with >= this many "
                         "base files (delta-debt buckets always select)")
+    c.add_argument("--sort", action="store_true",
+                   help="sort rewritten buckets by (conv_id, turn_idx) "
+                        "for tight row-group stats / scan locality "
+                        "(Iceberg sort-order rewrite)")
 
     rs = sub.add_parser("rescale", help="online bucket-count change (one commit)")
     rs.add_argument("--table", required=True)
@@ -475,7 +479,7 @@ def main() -> None:
                if args.buckets else None)
         n = LocalCowTable(spark, args.table).compact(
             drop_tombstones=args.drop_tombstones, buckets=bks,
-            minor=args.minor, min_files=args.min_files)
+            minor=args.minor, min_files=args.min_files, sort=args.sort)
         print(json.dumps({"buckets_rewritten": n}))
     elif args.cmd == "rescale":
         from dipper_spark.plans.target import LocalCowTable
