@@ -1316,3 +1316,65 @@ def cdc_bloom_pruned_lookup(spark, d):
         "blooms_cover_live_files boolean, "
         "bloom_prunes_beyond_ranges boolean, "
         "lookup_exact_under_pruning boolean")
+
+
+@q("cdc_auto_maintain", """
+SELECT CAST(1 AS BOOLEAN) AS maintain_resolves_advice,
+       CAST(1 AS BOOLEAN) AS data_invariant_and_idempotent,
+       CAST(1 AS BOOLEAN) AS policy_items_skipped_loudly
+""")
+def cdc_auto_maintain(spark, d):
+    """Auto-maintenance contract (round 5, beyond-survey —
+    plans/advisor.py maintain / LocalCowTable.maintain, the
+    Delta-OPTIMIZE-style advise -> verb loop): (a) planted MoR delta
+    debt, crash debris and stale bloom coverage all resolve in one
+    maintain() sweep (the re-advise loop orders analyze AFTER the
+    compact that invalidated the blooms) and the advisor reads clean
+    afterwards; (b) table data is hash-identical across maintenance
+    and a second sweep is an empty no-op; (c) policy decisions are
+    skipped loudly with a reason, never auto-run — a forced rescale
+    recommendation stays skipped and the layout untouched."""
+    import os as _os
+
+    from ..plans.target import LocalCowTable
+    from ..testkit.oracle import state_hash
+
+    work = tempfile.mkdtemp(prefix=f"dipper_mtq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=119, chunk_lsn=400,
+                         write_mode="mor", n_buckets=2)
+    table.compute_stats()
+    table.upsert(spark.createDataFrame(
+        [("mq-k", 0, "user", "debt", dt.datetime(2027, 9, 2))], ROWS))
+    _os.makedirs(_os.path.join(table.root, "_tmp_compact_feedface"),
+                 exist_ok=True)
+    before = state_hash(table.snapshot().toPandas())
+
+    log = table.maintain(vacuum_ttl=0)
+    done = [e["action"] for e in log if e["status"] == "done"]
+    a_ok = ({"compact --minor", "vacuum", "analyze"} <= set(done)
+            and done.index("analyze") > done.index("compact --minor")
+            and table.advise().count() == 0
+            and not any(table._load().get("deltas", {}).values()))
+
+    b_ok = (state_hash(table.snapshot().toPandas()) == before
+            and table.maintain() == [])
+
+    prev = os.environ.get("DIPPER_TARGET_BUCKET_BYTES")
+    os.environ["DIPPER_TARGET_BUCKET_BYTES"] = "64"
+    try:
+        log2 = table.maintain()
+    finally:
+        if prev is None:
+            os.environ.pop("DIPPER_TARGET_BUCKET_BYTES", None)
+        else:
+            os.environ["DIPPER_TARGET_BUCKET_BYTES"] = prev
+    resc = [e for e in log2 if e["action"] == "rescale --n-buckets"]
+    c_ok = (len(resc) == 1 and resc[0]["status"] == "skipped"
+            and "allow_rescale" in resc[0]["reason"]
+            and table._load()["n_buckets"] == 2)
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "maintain_resolves_advice boolean, "
+        "data_invariant_and_idempotent boolean, "
+        "policy_items_skipped_loudly boolean")

@@ -139,7 +139,10 @@ def advise(table) -> DataFrame:
         per_bucket = total / man["n_buckets"]
         if per_bucket > target:
             want = man["n_buckets"]
-            while total / want > target:
+            # cap at 64x current: one rescale step should never explode
+            # the layout (a misconfigured tiny target would otherwise
+            # recommend ~10^5 buckets, and maintain() would run it)
+            while total / want > target and want < man["n_buckets"] * 64:
                 want *= 2
             rows.append((
                 "rescale --n-buckets",
@@ -159,15 +162,16 @@ def advise(table) -> DataFrame:
     unbloomed = [r for r in all_rels if "bloom" not in stats.get(r, {})]
     # only nag tables that opted into stats (compute_stats ran at least
     # once) — a never-analyzed table is healthy without blooms
-    if man.get("analyzed") and all_rels and len(unbloomed) * 2 > len(all_rels):
+    if (man.get("analyzed") and all_rels
+            and len(unbloomed) * 2 >= len(all_rels)):
         rows.append((
             "analyze",
             f"{len(unbloomed)}/{len(all_rels)} files",
             "low",
             float(len(unbloomed)),
-            "most live files carry no conv_id Bloom filter — point "
-            "lookups scan every candidate file; one compute_stats() "
-            "pass restores planning-time file pruning",
+            "half or more of the live files carry no conv_id Bloom "
+            "filter — point lookups scan every candidate file; one "
+            "compute_stats() pass restores planning-time file pruning",
         ))
 
     # ---- crash debris -> vacuum ----------------------------------------
@@ -189,3 +193,86 @@ def advise(table) -> DataFrame:
     order = {"high": 0, "medium": 1, "low": 2}
     rows.sort(key=lambda r: (order[r[2]], r[0]))
     return table.spark.createDataFrame(rows, ADVICE_SCHEMA)
+
+
+def maintain(table, *, dry_run: bool = False, allow_rescale: bool = False,
+             vacuum_ttl: int = 3600, max_passes: int = 4) -> list[dict]:
+    """Execute the advisor's recommendations — the advise() -> verb
+    loop closed (Delta's OPTIMIZE-style auto-maintenance, driven by the
+    same metadata the advisor reads).  Recommendations run most-severe
+    first; after a pass that changed anything the advisor re-runs,
+    because resolving one item can surface the next (a minor compact
+    writes fresh bloom-less files -> the next pass runs analyze).
+    Bounded by `max_passes`.
+
+    Policy decisions are NEVER auto-made:
+      * `rescale` rewrites the whole table — skipped unless
+        `allow_rescale=True` (and never under dry_run);
+      * a changefeed floor with no registered consumer group
+        (`--changefeed-keep-batches`) needs a human-chosen number —
+        always skipped with a reason.
+
+    Returns one dict per recommendation encountered, in execution
+    order: {action, target, severity, status: done|skipped|dry_run,
+    result|reason}.  dry_run=True reports the plan without running
+    anything."""
+    out: list[dict] = []
+    skipped_once: set[tuple] = set()  # report each skip once, not per pass
+    for _ in range(max_passes):
+        recs = advise(table).collect()
+        if not recs:
+            break
+        changed = False
+        for r in recs:
+            item = {"action": r["action"], "target": r["target"],
+                    "severity": r["severity"]}
+            key = (r["action"], r["target"])
+            if key in skipped_once:
+                continue
+            if dry_run:
+                out.append({**item, "status": "dry_run"})
+                continue
+            try:
+                if r["action"] == "compact --minor":
+                    item["result"] = {"buckets_rewritten":
+                                      table.compact(minor=True)}
+                elif r["action"] == "expire --keep-last":
+                    item["result"] = table.expire_snapshots(
+                        keep_last=int(r["target"]))
+                elif r["action"] == "expire --changefeed-keep-consumed":
+                    item["result"] = table.expire_changefeed(
+                        keep_consumed=True)
+                elif r["action"] == "expire --changefeed-keep-batches":
+                    skipped_once.add(key)
+                    out.append({**item, "status": "skipped", "reason":
+                                "no consumer group registered — the "
+                                "retention floor is a policy number a "
+                                "human must pick"})
+                    continue
+                elif r["action"] == "rescale --n-buckets":
+                    if not allow_rescale:
+                        skipped_once.add(key)
+                        out.append({**item, "status": "skipped", "reason":
+                                    "rescale rewrites the whole table — "
+                                    "pass allow_rescale=True to opt in"})
+                        continue
+                    item["result"] = {"buckets_nonempty":
+                                      table.rescale_buckets(int(r["target"]))}
+                elif r["action"] == "vacuum":
+                    item["result"] = table.vacuum(ttl_seconds=vacuum_ttl)
+                elif r["action"] == "analyze":
+                    item["result"] = table.compute_stats()
+                else:
+                    skipped_once.add(key)
+                    out.append({**item, "status": "skipped", "reason":
+                                f"unknown action {r['action']!r}"})
+                    continue
+            except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+                skipped_once.add(key)
+                out.append({**item, "status": "failed", "reason": str(e)})
+                continue
+            out.append({**item, "status": "done"})
+            changed = True
+        if dry_run or not changed:
+            break
+    return out

@@ -1084,6 +1084,19 @@ class LocalCowTable:
 
         return _advise(self)
 
+    def maintain(self, *, dry_run: bool = False, allow_rescale: bool = False,
+                 vacuum_ttl: int = 3600) -> list[dict]:
+        """Run the advisor's recommendations (plans/advisor.py
+        maintain): minor compaction, retention expiry, vacuum, analyze
+        — re-advising between passes so resolved items can surface the
+        next one.  Policy decisions (rescale, an unconsumed-changefeed
+        retention floor) are skipped with a reason unless explicitly
+        opted in.  Returns the execution log."""
+        from .advisor import maintain as _maintain
+
+        return _maintain(self, dry_run=dry_run, allow_rescale=allow_rescale,
+                         vacuum_ttl=vacuum_ttl)
+
     # ---------------- branches / write-audit-publish (round 5) ----------
     # Iceberg branch semantics reduced to this manifest model: a branch
     # is a full manifest copy under _branches/<name>.json recording the

@@ -236,6 +236,16 @@ def main() -> None:
                                         " / Puffin shape)")
     an.add_argument("--table", required=True)
 
+    mt = sub.add_parser("maintain", help="execute the advisor's "
+                                         "recommendations (compact/expire/"
+                                         "vacuum/analyze); policy items are "
+                                         "skipped with a reason")
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--dry-run", action="store_true")
+    mt.add_argument("--allow-rescale", action="store_true",
+                    help="opt into O(table) bucket rescales")
+    mt.add_argument("--vacuum-ttl", type=int, default=3600)
+
     rc = sub.add_parser("rename-column", help="rename a data column "
                                               "(metadata-only; Iceberg "
                                               "field-id semantics)")
@@ -531,6 +541,13 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         print(json.dumps(LocalCowTable(spark, args.table).compute_stats()))
+    elif args.cmd == "maintain":
+        from dipper_spark.plans.target import LocalCowTable
+
+        log = LocalCowTable(spark, args.table).maintain(
+            dry_run=args.dry_run, allow_rescale=args.allow_rescale,
+            vacuum_ttl=args.vacuum_ttl)
+        print(json.dumps(log))
     elif args.cmd == "rename-column":
         from dipper_spark.plans.target import LocalCowTable
 
