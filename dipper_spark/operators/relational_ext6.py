@@ -1378,3 +1378,67 @@ def cdc_auto_maintain(spark, d):
         "maintain_resolves_advice boolean, "
         "data_invariant_and_idempotent boolean, "
         "policy_items_skipped_loudly boolean")
+
+
+@q("cdc_sorted_compaction", """
+SELECT CAST(1 AS BOOLEAN) AS sorted_rewrite_same_data,
+       CAST(1 AS BOOLEAN) AS every_file_key_ordered,
+       CAST(1 AS BOOLEAN) AS zero_extra_exchange
+""")
+def cdc_sorted_compaction(spark, d):
+    """Sort-ordered compaction contract (round 5, beyond-survey —
+    plans/target.py compact(sort=True), the Iceberg
+    rewrite_data_files-with-sort-order shape): (a) a sorted rewrite of
+    a MoR table with outstanding deltas folds them and leaves the data
+    hash-identical; (b) every rewritten bucket file is
+    (conv_id, turn_idx)-ordered on disk; (c) the sort contract adds no
+    Exchange to the rewrite plan (and, against today's SortAggregate
+    LWW resolve, not even a Sort — EliminateSorts proves the order is
+    already guaranteed)."""
+    import pyarrow.parquet as _pq
+    import pyspark.sql.types as T
+
+    from ..plans.target import LocalCowTable
+    from ..schemas import KEY_COLUMNS
+    from ..testkit.oracle import state_hash
+
+    work = tempfile.mkdtemp(prefix=f"dipper_scq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=121, chunk_lsn=400,
+                         write_mode="mor", n_buckets=8)
+    table.upsert(spark.createDataFrame(
+        [("conv00000011", 0, "user", "late", dt.datetime(2027, 10, 1))],
+        ROWS))
+    before = state_hash(table.snapshot().toPandas())
+
+    # plan contract measured on the delta-laden pre-compact manifest —
+    # that is the rewrite plan compact(sort=True) actually runs, and
+    # the one whose SortAggregate already guarantees the order
+    man0 = table._load()
+    schema0 = T.StructType.fromJson(man0["schema"])
+    df = (table._read_resolved(man0, schema0)
+          .withColumn("_bucket", table._bucket_expr(man0["n_buckets"]))
+          .repartition(man0["n_buckets"], *KEY_COLUMNS))
+    base = df._jdf.queryExecution().executedPlan().toString()
+    sortd = (df.sortWithinPartitions(*KEY_COLUMNS)
+             ._jdf.queryExecution().executedPlan().toString())
+    c_ok = (sortd.count("Exchange") == base.count("Exchange")
+            and sortd.count("Sort [") == base.count("Sort ["))
+
+    n = table.compact(sort=True)
+    man = table._load()
+    a_ok = (n > 0 and not any(man.get("deltas", {}).values())
+            and state_hash(table.snapshot().toPandas()) == before)
+
+    b_ok = True
+    for rel, _sid in LocalCowTable._entries(man):
+        t = _pq.read_table(os.path.join(table.root, rel),
+                           columns=["conv_id", "turn_idx"])
+        keys = list(zip(t.column("conv_id").to_pylist(),
+                        t.column("turn_idx").to_pylist()))
+        b_ok = b_ok and keys == sorted(keys)
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "sorted_rewrite_same_data boolean, "
+        "every_file_key_ordered boolean, "
+        "zero_extra_exchange boolean")
