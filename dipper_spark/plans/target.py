@@ -432,6 +432,11 @@ class LocalCowTable:
                 pass
 
     def _write_manifest(self, man: dict) -> None:
+        # every committed manifest knows its own wall-clock commit time
+        # (Iceberg snapshot timestamp-ms) — age-based expire_snapshots
+        # reads this; legacy retained versions fall back to file mtime
+        man["committed_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
         tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
@@ -623,6 +628,46 @@ class LocalCowTable:
             }
             fids = dict(new_man["field_ids"])
             del fids[name]
+            new_man["field_ids"] = fids
+            new_man["version"] = man["version"] + 1
+            self._finish_commit(new_man, [])
+            return new_man["version"]
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ADD COLUMN — metadata-only commit.  Existing
+        rows read NULL; the column gets a fresh field id (so if it
+        shadows a previously DROPPED name, old bytes never resurrect —
+        same contract as the drop/re-add path).  Semantically identical
+        to the implicit merge-time ADD evolution, but available without
+        having to write data.  `dtype` is a Spark DDL type string
+        ('string', 'double', 'array<float>', ...).  Changefeed tables
+        accept (ADD composes with the feed: old feed files read the new
+        column as NULL, exactly like old data files)."""
+        if name in _NO_RENAME:
+            raise ValueError(f"cannot add {name!r}: reserved key/system name")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid column name {name!r}")
+        field = T.StructType.fromDDL(f"{name} {dtype}")[name]
+        fj = {**field.jsonValue(), "nullable": True}
+        with self._commit_lock():
+            man = self._load()
+            if man["schema"] is None:
+                raise ValueError(
+                    "empty table: the first write defines the schema "
+                    "(add_column evolves an existing one)")
+            if any(f["name"] == name for f in man["schema"]["fields"]):
+                raise ValueError(f"column {name!r} already exists")
+            new_man = dict(man)
+            self._ensure_field_ids(new_man)
+            fields = list(man["schema"]["fields"])
+            sys_names = {f.name for f in SYSTEM_FIELDS}
+            at = next((i for i, f in enumerate(fields)
+                       if f["name"] in sys_names), len(fields))
+            fields.insert(at, fj)  # data columns precede system columns
+            new_man["schema"] = {**man["schema"], "fields": fields}
+            fids = dict(new_man["field_ids"])
+            fids[name] = new_man["next_field_id"]
+            new_man["next_field_id"] += 1
             new_man["field_ids"] = fids
             new_man["version"] = man["version"] + 1
             self._finish_commit(new_man, [])
@@ -1413,13 +1458,22 @@ class LocalCowTable:
             return json.load(f)
 
     def expire_snapshots(self, keep_last: int = 1,
-                         changefeed_keep_batches: int | None = None) -> dict:
+                         changefeed_keep_batches: int | None = None,
+                         older_than_s: float | None = None) -> dict:
         """Reclaim time-travel space: keep the newest `keep_last`
         retained versions (the CURRENT version is always kept), drop
         older version manifests, and delete data files referenced by
         NO retained manifest.  Mirrors Iceberg expire_snapshots.
         `changefeed_keep_batches` additionally applies changefeed
         retention (expire_changefeed) in the same maintenance pass.
+
+        `older_than_s` is Iceberg's age policy composed with the count
+        policy: a version is dropped only when it is BOTH beyond
+        `keep_last` AND older than `older_than_s` seconds (by its
+        manifest's `committed_at`; legacy retained manifests without
+        one fall back to the version file's mtime) — i.e. age can only
+        RETAIN more, exactly like `expire_snapshots(older_than =>
+        ..., retain_last => N)`.
 
         Metadata-only (reference counting over manifests) — no data
         read; at 100 TB this is a driver-side set difference over file
@@ -1441,6 +1495,26 @@ class LocalCowTable:
             vd = self._versions_dir()
             all_vs = self.versions()
             keep = set(all_vs[-max(1, keep_last):]) | {man["version"]}
+            if older_than_s is not None:
+                cutoff = time.time() - older_than_s
+                for v in all_vs:
+                    p = os.path.join(vd, f"v{v:06d}.json")
+                    ts = None
+                    try:
+                        with open(p) as f:
+                            iso = json.load(f).get("committed_at")
+                        if iso:
+                            ts = time.mktime(time.strptime(
+                                iso, "%Y-%m-%dT%H:%M:%SZ")) - time.timezone
+                    except (OSError, ValueError):
+                        pass
+                    if ts is None:
+                        try:
+                            ts = os.path.getmtime(p)
+                        except OSError:
+                            continue
+                    if ts > cutoff:  # still young: age policy retains it
+                        keep.add(v)
             # tagged versions are pinned until their tag is dropped
             keep |= {int(v) for v in man.get("tags", {}).values()}
             live: set = set()
@@ -1529,6 +1603,46 @@ class LocalCowTable:
         return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
             *[f.name for f in SYSTEM_FIELDS]
         )
+
+    @classmethod
+    def _metadata_live_count(cls, man: dict) -> int | None:
+        """Exact live-row count from the manifest alone, or None when
+        metadata can't know it: outstanding MoR deltas overlap base
+        keys (the LWW winner isn't a per-file property), and files
+        without a `live_rows` stat need a scan.  Base files of one
+        manifest hold disjoint live keys by construction (the CoW
+        merge rewrites whole buckets), so the per-file counts add."""
+        if man["schema"] is None:
+            return 0
+        if cls._delta_entries(man):
+            return None
+        stats = man.get("file_stats", {})
+        rels = [r for r, _sid in cls._entries(man)]
+        total = 0
+        for r in rels:
+            lv = stats.get(r, {}).get("live_rows")
+            if lv is None:
+                return None
+            total += int(lv)
+        return total
+
+    def count_rows(self, as_of: int | str | None = None) -> int:
+        """Exact live-row count — answered from MANIFEST METADATA when
+        possible (Iceberg's planning-time COUNT(*) pushdown: zero tasks,
+        zero file reads at any table size), falling back to one
+        column-pruned Spark job otherwise.  Metadata answers when the
+        table has no outstanding MoR deltas and every base file carries
+        a `live_rows` stat — free at write time for tombstone-free
+        files (footer boolean stats are decisive), and backfilled
+        exactly by compute_stats() / CLI `analyze` for mixed files."""
+        man = self._load() if as_of is None else self._load_as_of(
+            self._resolve_as_of(as_of))
+        n = self._metadata_live_count(man)
+        if n is not None:
+            return n
+        return (self.read(as_of=as_of)
+                .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                .count())
 
     def snapshot(self, as_of: int | str | None = None) -> DataFrame:
         """Stable-order finalization (op C16): live rows, spec columns,
@@ -2985,12 +3099,32 @@ class LocalCowTable:
             idx = {}
             for i in range(md.num_columns):
                 n = md.schema.column(i).name
-                if n in ("conv_id", "turn_idx"):
+                if n in ("conv_id", "turn_idx", "_deleted"):
                     idx[n] = i
-            if len(idx) != 2:
+            if "conv_id" not in idx or "turn_idx" not in idx:
                 return None
             out = {"conv": [None, None], "turn": [None, None],
                    "rows": md.num_rows}
+            # live-row count from the footer alone, when decisive: the
+            # engine writes _deleted non-null, so null_count==0 with
+            # max==False proves zero tombstones (live == rows) and
+            # min==True proves all-tombstone (live == 0).  Mixed files
+            # stay unset; compute_stats() fills them exactly.
+            if "_deleted" in idx:
+                lv = 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx["_deleted"]).statistics
+                    if (st is None or not st.has_min_max
+                            or st.null_count != 0):
+                        lv = None
+                        break
+                    if st.max is False:
+                        lv += md.row_group(rg).num_rows
+                    elif st.min is not True:
+                        lv = None
+                        break
+                if lv is not None:
+                    out["live_rows"] = lv
             for rg in range(md.num_row_groups):
                 for name, key in (("conv_id", "conv"), ("turn_idx", "turn")):
                     st = md.row_group(rg).column(idx[name]).statistics
@@ -3042,25 +3176,34 @@ class LocalCowTable:
         rels = [r for r, _sid in self._entries(man)]
         rels += [r for r, _sid, _seq in self._delta_entries(man)]
         stats0 = man.get("file_stats", {})
-        targets = [r for r in rels if "bloom" not in stats0.get(r, {})]
+        # re-analyze files missing EITHER stat: blooms and live_rows
+        # land together, but files analyzed by an older engine (or
+        # whose footer was decisive for live_rows only) may have one
+        targets = [r for r in rels
+                   if "bloom" not in stats0.get(r, {})
+                   or "live_rows" not in stats0.get(r, {})]
         if not targets:
             return {"files": len(rels), "computed": 0, "saturated": 0}
 
         import pandas as pd  # noqa: F811 — executor-side builder below
 
-        sdf = (self.spark.read.schema("conv_id string")
+        sdf = (self.spark.read.schema("conv_id string, _deleted boolean")
                .parquet(*[os.path.join(self.root, r) for r in targets])
-               .select(F.input_file_name().alias("f"), "conv_id")
-               .distinct())
+               .select(F.input_file_name().alias("f"), "conv_id",
+                       (~F.coalesce(F.col("_deleted"), F.lit(False)))
+                       .cast("long").alias("live"))
+               .groupBy("f", "conv_id").agg(F.sum("live").alias("live")))
 
         def build(key, pdf):
             bl = _bloom_build(pdf["conv_id"])
-            return pd.DataFrame({"f": [key[0]], "bloom": [json.dumps(bl)]})
+            return pd.DataFrame({"f": [key[0]], "bloom": [json.dumps(bl)],
+                                 "live": [int(pdf["live"].sum())]})
 
-        rows = (sdf.groupBy("f").applyInPandas(build, "f string, bloom string")
+        rows = (sdf.groupBy("f")
+                .applyInPandas(build, "f string, bloom string, live long")
                 .collect())  # one row per file: bounded metadata
         root_abs = os.path.realpath(self.root)
-        by_rel: dict[str, dict | None] = {}
+        by_rel: dict[str, tuple[dict | None, int]] = {}
         for r in rows:
             p = r["f"]
             if p.startswith("file:"):
@@ -3068,7 +3211,7 @@ class LocalCowTable:
                 while p.startswith("//"):
                     p = p[1:]
             by_rel[os.path.relpath(os.path.realpath(p), root_abs)] = (
-                json.loads(r["bloom"]))
+                json.loads(r["bloom"]), int(r["live"]))
 
         computed = saturated = 0
         with self._commit_lock():
@@ -3076,20 +3219,21 @@ class LocalCowTable:
             live = {rel for rel, _sid in self._entries(cur)}
             live |= {rel for rel, _sid, _seq in self._delta_entries(cur)}
             stats = dict(cur.get("file_stats", {}))
-            for rel, bl in by_rel.items():
+            for rel, (bl, live_rows) in by_rel.items():
                 if rel not in live or bl is None:
                     continue
                 ent = dict(stats.get(rel) or {})
-                if "bloom" in ent:
+                if "bloom" in ent and "live_rows" in ent:
                     continue
                 if "turn" not in ent:
                     fs = self._file_key_stats(os.path.join(self.root, rel))
                     if fs:
                         ent.update(fs)
-                ent["bloom"] = bl
+                ent.setdefault("bloom", bl)
+                ent["live_rows"] = live_rows  # exact: enables count_rows
                 stats[rel] = ent
                 computed += 1
-                saturated += int(not bl.get("m"))
+                saturated += int(not ent["bloom"].get("m"))
             if computed:
                 cur["file_stats"] = stats
                 # opt-in marker: the advisor only nags about stale bloom

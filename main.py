@@ -236,6 +236,13 @@ def main() -> None:
                                         " / Puffin shape)")
     an.add_argument("--table", required=True)
 
+    ct = sub.add_parser("count", help="exact live-row count — metadata-only "
+                                      "when possible (Iceberg COUNT(*) "
+                                      "pushdown), else one pruned Spark job")
+    ct.add_argument("--table", required=True)
+    ct.add_argument("--as-of", default=None,
+                    help="retained version int or tag name")
+
     mt = sub.add_parser("maintain", help="execute the advisor's "
                                          "recommendations (compact/expire/"
                                          "vacuum/analyze); policy items are "
@@ -245,6 +252,14 @@ def main() -> None:
     mt.add_argument("--allow-rescale", action="store_true",
                     help="opt into O(table) bucket rescales")
     mt.add_argument("--vacuum-ttl", type=int, default=3600)
+
+    ac = sub.add_parser("add-column", help="ALTER TABLE ADD COLUMN "
+                                           "(metadata-only; existing rows "
+                                           "read NULL, fresh field id)")
+    ac.add_argument("--table", required=True)
+    ac.add_argument("--column", required=True)
+    ac.add_argument("--type", required=True,
+                    help="Spark DDL type, e.g. string / double / array<float>")
 
     rc = sub.add_parser("rename-column", help="rename a data column "
                                               "(metadata-only; Iceberg "
@@ -288,6 +303,10 @@ def main() -> None:
                                       "changefeed retention)")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=1)
+    e.add_argument("--older-than-s", type=float, default=None,
+                   help="age policy composed with --keep-last: only "
+                        "versions BOTH beyond keep-last AND older than "
+                        "this many seconds are dropped")
     e.add_argument("--changefeed-keep-batches", type=int, default=None,
                    help="per scope, keep only the newest N changefeed batches")
     e.add_argument("--changefeed-keep-consumed", action="store_true",
@@ -541,6 +560,18 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         print(json.dumps(LocalCowTable(spark, args.table).compute_stats()))
+    elif args.cmd == "count":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        as_of = None
+        if args.as_of is not None:
+            as_of = int(args.as_of) if args.as_of.isdigit() else args.as_of
+        man = t._load() if as_of is None else t._load_as_of(
+            t._resolve_as_of(as_of))
+        meta = t._metadata_live_count(man)
+        print(json.dumps({"rows": t.count_rows(as_of=as_of),
+                          "from_metadata": meta is not None}))
     elif args.cmd == "maintain":
         from dipper_spark.plans.target import LocalCowTable
 
@@ -548,6 +579,12 @@ def main() -> None:
             dry_run=args.dry_run, allow_rescale=args.allow_rescale,
             vacuum_ttl=args.vacuum_ttl)
         print(json.dumps(log))
+    elif args.cmd == "add-column":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        v = t.add_column(args.column, args.type)
+        print(json.dumps({"added": [args.column, args.type], "version": v}))
     elif args.cmd == "rename-column":
         from dipper_spark.plans.target import LocalCowTable
 
@@ -592,7 +629,8 @@ def main() -> None:
         t = LocalCowTable(spark, args.table)
         out = t.expire_snapshots(
             keep_last=args.keep_last,
-            changefeed_keep_batches=args.changefeed_keep_batches)
+            changefeed_keep_batches=args.changefeed_keep_batches,
+            older_than_s=args.older_than_s)
         if args.changefeed_keep_consumed:
             out["changefeed"] = t.expire_changefeed(keep_consumed=True)
         print(json.dumps(out))
