@@ -1039,9 +1039,13 @@ class LocalCowTable:
                 conv = st.get("conv") or [None, None]
                 turn = st.get("turn") or [None, None]
                 nrows = st.get("rows")  # absent on pre-feature stats
+                lv = st.get("live_rows")
+                bloom = st.get("bloom")
                 return (rel, kind, int(bucket), int(sid) if sid is not None else None,
                         seq, nbytes,
                         int(nrows) if nrows is not None else None,
+                        int(lv) if lv is not None else None,
+                        bool(bloom.get("m")) if bloom is not None else None,
                         conv[0], conv[1],
                         int(turn[0]) if turn[0] is not None else None,
                         int(turn[1]) if turn[1] is not None else None)
@@ -1054,7 +1058,7 @@ class LocalCowTable:
             return self.spark.createDataFrame(
                 rows, "path string, kind string, bucket int, schema_id int, "
                       "commit_version int, bytes long, rows long, "
-                      "conv_min string, "
+                      "live_rows long, has_bloom boolean, conv_min string, "
                       "conv_max string, turn_min long, turn_max long")
         if what == "history":
             rows = [(int(e["batch_id"]), e.get("scope", "default"),
@@ -3905,3 +3909,26 @@ class IcebergTable:
             .drop("_op_ts", "_lsn", "_deleted")
             .orderBy(*KEY_COLUMNS)
         )
+
+    def add_column_sql(self, name: str, dtype: str) -> str:
+        """Prod parity for LocalCowTable.add_column: Iceberg ALTER ADD
+        is metadata-only with a fresh field id — the same contract the
+        local backend implements.  Plain Spark SQL; parses without the
+        Iceberg extensions jar (test_iceberg_sql)."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid column name {name!r}")
+        return (f"ALTER TABLE {self.identifier} "
+                f"ADD COLUMNS ({name} {dtype})")
+
+    def compute_stats_sql(self, columns: tuple[str, ...] = ("conv_id",)) -> str:
+        """Prod parity for LocalCowTable.compute_stats: Iceberg's
+        stats procedure writes Puffin blobs (NDV sketches / bloom
+        metadata) that planning consults — the catalog-side analog of
+        the local manifest blooms.  A `CALL` statement needs the
+        Iceberg SQL extensions to PARSE, so unlike the DDL above this
+        string is shape-documented only (cannot be parse-validated in
+        this sandbox — SURVEY.md §0.3)."""
+        cols = ", ".join(f"'{c}'" for c in columns)
+        cat = self.identifier.split(".")[0]
+        return (f"CALL {cat}.system.compute_table_stats("
+                f"table => '{self.identifier}', columns => array({cols}))")

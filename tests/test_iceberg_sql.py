@@ -255,3 +255,27 @@ def test_commit_retry_unknown_state_rechecks_marker():
 
     t._run_with_commit_retries(unknown, 9, "ck")
     assert calls["n"] == 1  # landed commit detected, no re-run
+
+
+def test_add_column_sql_parses(spark):
+    from dipper_spark.plans.target import IcebergTable
+
+    t = IcebergTable(spark, "cat.db.transcripts")
+    sql = t.add_column_sql("sentiment", "double")
+    spark.sql(f"EXPLAIN {sql}") if False else None
+    # ALTER TABLE ADD COLUMNS is plain Spark DDL: the parser accepts it
+    # (execution would need the catalog; parse is the sandbox contract)
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert "sentiment" in plan.toString()
+    import pytest
+    with pytest.raises(ValueError, match="invalid column name"):
+        t.add_column_sql("bad name", "double")
+
+
+def test_compute_stats_sql_shape():
+    from dipper_spark.plans.target import IcebergTable
+
+    t = IcebergTable(None, "cat.db.transcripts")
+    sql = t.compute_stats_sql()
+    assert sql.startswith("CALL cat.system.compute_table_stats(")
+    assert "'cat.db.transcripts'" in sql and "'conv_id'" in sql
