@@ -1392,9 +1392,10 @@ def cdc_sorted_compaction(spark, d):
     a MoR table with outstanding deltas folds them and leaves the data
     hash-identical; (b) every rewritten bucket file is
     (conv_id, turn_idx)-ordered on disk; (c) the sort contract adds no
-    Exchange to the rewrite plan (and, against today's SortAggregate
-    LWW resolve, not even a Sort — EliminateSorts proves the order is
-    already guaranteed)."""
+    Exchange to the rewrite plan, and at most one Sort: zero against
+    the SortAggregate LWW resolve (EliminateSorts proves the order is
+    already guaranteed), one against the broadcast-resolve plan (where
+    it is genuinely needed)."""
     import pyarrow.parquet as _pq
     import pyspark.sql.types as T
 
@@ -1421,8 +1422,11 @@ def cdc_sorted_compaction(spark, d):
     base = df._jdf.queryExecution().executedPlan().toString()
     sortd = (df.sortWithinPartitions(*KEY_COLUMNS)
              ._jdf.queryExecution().executedPlan().toString())
+    # never an extra Exchange; the contract Sort is eliminated (0) on
+    # the SortAggregate resolve plan or genuinely inserted (+1) on the
+    # broadcast-resolve plan — both are correct (see test_sorted_compact)
     c_ok = (sortd.count("Exchange") == base.count("Exchange")
-            and sortd.count("Sort [") == base.count("Sort ["))
+            and sortd.count("Sort [") - base.count("Sort [") in (0, 1))
 
     n = table.compact(sort=True)
     man = table._load()

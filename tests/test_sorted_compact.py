@@ -83,10 +83,13 @@ def test_sort_plan_has_explicit_sort_no_extra_shuffle(spark, tmp_path):
     base = df._jdf.queryExecution().executedPlan().toString()
     sortd = (df.sortWithinPartitions(*KEY_COLUMNS)
              ._jdf.queryExecution().executedPlan().toString())
-    # zero-cost today: EliminateSorts removes the contract sort because
-    # the SortAggregate already guarantees the order — identical plan
+    # never an extra Exchange; the contract Sort is either ELIMINATED
+    # (SortAggregate resolve already guarantees the order — the shuffle
+    # plan) or genuinely inserted (+1 — e.g. the broadcast-resolve MoR
+    # plan, whose join preserves no useful order).  Which plan Catalyst
+    # picks depends on delta sizes/session state; both are correct.
     assert sortd.count("Exchange") == base.count("Exchange")
-    assert sortd.count("Sort [") == base.count("Sort [")
+    assert sortd.count("Sort [") - base.count("Sort [") in (0, 1)
     # control: on a frame with NO incidental order (a bare scan — the
     # MoR resolve above is itself a SortAggregate, so table.read() won't
     # do) the same request DOES insert a Sort — the optimizer is
