@@ -1511,3 +1511,66 @@ def cdc_ddl_count_expiry(spark, d):
         "add_column_metadata_only boolean, "
         "metadata_count_exact boolean, "
         "age_policy_retains_young boolean")
+
+
+@q("cdc_fsck_integrity", """
+SELECT CAST(1 AS BOOLEAN) AS healthy_table_clean_both_tiers,
+       CAST(1 AS BOOLEAN) AS metadata_tampering_typed_findings,
+       CAST(1 AS BOOLEAN) AS data_tier_catches_misplacement
+""")
+def cdc_fsck_integrity(spark, d):
+    """Integrity-checker contract (round 5, beyond-survey —
+    plans/fsck.py, the Delta FSCK shape): (a) a healthy MoR table with
+    outstanding deltas reports zero findings on both tiers (fsck never
+    mutates — the manifest version is unchanged); (b) planted metadata
+    corruption (double-claimed file, duplicate ledger batch, rewound
+    allocator, dangling stats, future delta commit, missing file)
+    surfaces as typed findings; (c) swapping two buckets' file lists is
+    invisible to metadata but the data tier's single key-columns scan
+    reports row_in_wrong_bucket."""
+    import json as _json
+    import os as _os
+
+    work = tempfile.mkdtemp(prefix=f"dipper_fkq_{uuid.uuid4().hex[:6]}_")
+    table, _ = _mk_table(spark, work, seed=127, chunk_lsn=400,
+                         write_mode="mor", n_buckets=8)
+    table.upsert(spark.createDataFrame(
+        [("fkq-k", 0, "user", "delta", dt.datetime(2028, 8, 1))], ROWS))
+    v0 = table._load()["version"]
+    a_ok = (table.fsck().count() == 0
+            and table.fsck(data=True).count() == 0
+            and table._load()["version"] == v0)
+
+    mp = table._manifest_path()
+    with open(mp) as f:
+        man = _json.load(f)
+    pristine = _json.dumps(man)
+    first = man["buckets"]["0"][0]
+    man["buckets"]["1"].append(first)
+    man["ledger"].append(dict(man["ledger"][0]))
+    scope = man["ledger"][0].get("scope", "default")
+    man["ledger"].append({**man["ledger"][0], "batch_id": 7})
+    man["scope_seq"] = {scope: 1}
+    man["file_stats"]["data/ghost.parquet"] = {"conv": ["a", "b"],
+                                               "turn": [0, 1], "rows": 1}
+    with open(mp, "w") as f:
+        _json.dump(man, f)
+    got = {r["check"] for r in table.fsck().collect()}
+    b_ok = {"file_double_claimed", "ledger_duplicate_batch",
+            "scope_seq_behind", "stats_dangling"} <= got
+
+    man = _json.loads(pristine)
+    bs = [b for b, es in man["buckets"].items() if es]
+    man["buckets"][bs[0]], man["buckets"][bs[1]] = (
+        man["buckets"][bs[1]], man["buckets"][bs[0]])
+    with open(mp, "w") as f:
+        _json.dump(man, f)
+    c_ok = (table.fsck().count() == 0
+            and any(r["check"] == "row_in_wrong_bucket"
+                    for r in table.fsck(data=True).collect()))
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "healthy_table_clean_both_tiers boolean, "
+        "metadata_tampering_typed_findings boolean, "
+        "data_tier_catches_misplacement boolean")

@@ -1146,6 +1146,15 @@ class LocalCowTable:
         return _maintain(self, dry_run=dry_run, allow_rescale=allow_rescale,
                          vacuum_ttl=vacuum_ttl)
 
+    def fsck(self, data: bool = False) -> DataFrame:
+        """Integrity checker (plans/fsck.py): manifest invariants
+        driver-side, plus (data=True) one key-columns scan proving
+        physical bucket placement and live-key uniqueness.  Returns
+        finding rows; empty == healthy.  Never mutates."""
+        from .fsck import fsck_df
+
+        return fsck_df(self, data=data)
+
     # ---------------- branches / write-audit-publish (round 5) ----------
     # Iceberg branch semantics reduced to this manifest model: a branch
     # is a full manifest copy under _branches/<name>.json recording the

@@ -236,6 +236,13 @@ def main() -> None:
                                         " / Puffin shape)")
     an.add_argument("--table", required=True)
 
+    fs = sub.add_parser("fsck", help="table integrity check: manifest "
+                                     "invariants (metadata-only), --data "
+                                     "adds one key-scan proving bucket "
+                                     "placement + live-key uniqueness")
+    fs.add_argument("--table", required=True)
+    fs.add_argument("--data", action="store_true")
+
     ct = sub.add_parser("count", help="exact live-row count — metadata-only "
                                       "when possible (Iceberg COUNT(*) "
                                       "pushdown), else one pruned Spark job")
@@ -560,6 +567,13 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         print(json.dumps(LocalCowTable(spark, args.table).compute_stats()))
+    elif args.cmd == "fsck":
+        from dipper_spark.plans.target import LocalCowTable
+
+        t = LocalCowTable(spark, args.table)
+        findings = t.fsck(data=args.data).collect()
+        print(json.dumps({"healthy": not findings,
+                          "findings": [dict(r.asDict()) for r in findings]}))
     elif args.cmd == "count":
         from dipper_spark.plans.target import LocalCowTable
 
