@@ -34,7 +34,12 @@ from pyspark.sql import types as T
 FINDING_SCHEMA = "check string, severity string, target string, detail string"
 
 
-def fsck(table, data: bool = False) -> list[tuple]:
+def fsck(table, data: bool = False,
+         buckets: list[int] | None = None) -> list[tuple]:
+    """`buckets` limits the DATA tier to those buckets' files — the
+    bucket-sampled mode for very large tables (metadata tier is always
+    whole-table: it's O(manifest)).  NB the key-uniqueness check stays
+    valid under sampling because keys are bucket-local by layout."""
     from .target import LocalCowTable
 
     man = table._load()
@@ -117,8 +122,14 @@ def fsck(table, data: bool = False) -> list[tuple]:
 
     # ---- data tier ----
     if data and man.get("schema") is not None and not out:
+        if buckets is not None:
+            sel = {str(int(b)) for b in buckets}
+            seen = {rel: b for rel, b in seen.items() if b in sel}
         schema = T.StructType.fromJson(man["schema"])
-        key_rows = (table._read_resolved(man, schema)
+        key_rows = (table._read_resolved(
+                        man, schema,
+                        [int(b) for b in sorted(sel, key=int)]
+                        if buckets is not None else None)
                     .select("conv_id", "turn_idx", "_deleted"))
         live = key_rows.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         total, distinct = live.agg(
@@ -131,6 +142,8 @@ def fsck(table, data: bool = False) -> list[tuple]:
         # with the bucket its file is claimed under — ONE key-columns
         # scan of all files plus a broadcast basename->bucket map (data
         # file names are uuid-unique), never a per-file plan
+        if not seen:  # sampled buckets hold no files — nothing to scan
+            return out
         fmt = LocalCowTable._fmt(man)
         claims = table.spark.createDataFrame(
             [(os.path.basename(rel), int(b)) for rel, b in seen.items()],
@@ -151,5 +164,6 @@ def fsck(table, data: bool = False) -> list[tuple]:
     return out
 
 
-def fsck_df(table, data: bool = False):
-    return table.spark.createDataFrame(fsck(table, data=data), FINDING_SCHEMA)
+def fsck_df(table, data: bool = False, buckets: list[int] | None = None):
+    return table.spark.createDataFrame(
+        fsck(table, data=data, buckets=buckets), FINDING_SCHEMA)

@@ -1146,14 +1146,16 @@ class LocalCowTable:
         return _maintain(self, dry_run=dry_run, allow_rescale=allow_rescale,
                          vacuum_ttl=vacuum_ttl)
 
-    def fsck(self, data: bool = False) -> DataFrame:
+    def fsck(self, data: bool = False,
+             buckets: list[int] | None = None) -> DataFrame:
         """Integrity checker (plans/fsck.py): manifest invariants
         driver-side, plus (data=True) one key-columns scan proving
-        physical bucket placement and live-key uniqueness.  Returns
-        finding rows; empty == healthy.  Never mutates."""
+        physical bucket placement and live-key uniqueness —
+        `buckets=[...]` samples the data tier for very large tables.
+        Returns finding rows; empty == healthy.  Never mutates."""
         from .fsck import fsck_df
 
-        return fsck_df(self, data=data)
+        return fsck_df(self, data=data, buckets=buckets)
 
     # ---------------- branches / write-audit-publish (round 5) ----------
     # Iceberg branch semantics reduced to this manifest model: a branch

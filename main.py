@@ -242,6 +242,9 @@ def main() -> None:
                                      "placement + live-key uniqueness")
     fs.add_argument("--table", required=True)
     fs.add_argument("--data", action="store_true")
+    fs.add_argument("--buckets", default=None,
+                    help="comma-separated bucket ids: sample the data "
+                         "tier (metadata tier is always whole-table)")
 
     ct = sub.add_parser("count", help="exact live-row count — metadata-only "
                                       "when possible (Iceberg COUNT(*) "
@@ -571,7 +574,9 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         t = LocalCowTable(spark, args.table)
-        findings = t.fsck(data=args.data).collect()
+        bks = ([int(x) for x in args.buckets.split(",")]
+               if args.buckets else None)
+        findings = t.fsck(data=args.data, buckets=bks).collect()
         print(json.dumps({"healthy": not findings,
                           "findings": [dict(r.asDict()) for r in findings]}))
     elif args.cmd == "count":

@@ -118,3 +118,26 @@ def test_data_tier_catches_duplicate_live_keys(spark, tmp_path):
     assert any(r["check"] == "duplicate_live_keys" for r in got)
     # (the copied rows also sit in the wrong bucket — both findings fire)
     assert any(r["check"] == "row_in_wrong_bucket" for r in got)
+
+
+def test_data_tier_bucket_sampling(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    mp = t._manifest_path()
+    with open(mp) as f:
+        man = json.load(f)
+    bs = [b for b, es in man["buckets"].items() if es]
+    a, b = bs[0], bs[1]
+    man["buckets"][a], man["buckets"][b] = man["buckets"][b], man["buckets"][a]
+    with open(mp, "w") as f:
+        json.dump(man, f)
+    # sampling only untouched buckets sees nothing; sampling a swapped
+    # bucket catches the misplacement; an empty-bucket sample is a no-op
+    clean = [int(x) for x in bs[2:4]]
+    assert {r["check"] for r in t.fsck(data=True, buckets=clean).collect()} \
+        == set()
+    hit = t.fsck(data=True, buckets=[int(a)]).collect()
+    assert any(r["check"] == "row_in_wrong_bucket" for r in hit)
+    empty = [bb for bb in range(man["n_buckets"])
+             if str(bb) not in man["buckets"]]
+    if empty:
+        assert t.fsck(data=True, buckets=[empty[0]]).count() == 0
