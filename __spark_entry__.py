@@ -199,7 +199,7 @@ PRIORITY = [
     # join family keeps 6 slots) ceded its slot to cdc_clone_table
     # (the sixth-wave round-5 surface).  All twelve ceded queries were
     # green at their last driver sample and remain enforced by
-    # tools/check_oracles.py (116/116).
+    # tools/check_oracles.py (117/117).
 ]
 
 

@@ -1574,3 +1574,66 @@ def cdc_fsck_integrity(spark, d):
         "healthy_table_clean_both_tiers boolean, "
         "metadata_tampering_typed_findings boolean, "
         "data_tier_catches_misplacement boolean")
+
+
+@q("cdc_quarantine_requeue", """
+SELECT CAST(1 AS BOOLEAN) AS requeue_applies_and_purges,
+       CAST(1 AS BOOLEAN) AS lww_guard_protects_newer,
+       CAST(1 AS BOOLEAN) AS still_violating_routes_back
+""")
+def cdc_quarantine_requeue(spark, d):
+    """Dead-letter requeue contract (round 5, beyond-survey —
+    plans/target.py requeue_quarantined / CLI `requeue`): (a) after
+    the quarantining constraint is dropped, one requeue applies the
+    rows under their ORIGINAL (ts, lsn), purges the drained dirs, and
+    a second requeue is an empty no-op; (b) a key updated with a NEWER
+    version since quarantine is untouched (the requeued row loses the
+    LWW race it would have lost live); (c) with the constraint still
+    active, requeued rows route straight back to the sink and the
+    table is unchanged."""
+    from ..plans.target import LocalCowTable
+
+    work = tempfile.mkdtemp(prefix=f"dipper_rqq_{uuid.uuid4().hex[:6]}_")
+    ts0 = dt.datetime(2027, 3, 1)
+
+    def mk(name):
+        t = LocalCowTable.create(spark, os.path.join(work, name), n_buckets=8)
+        t.add_check_constraint("text_present",
+                               "text IS NOT NULL AND length(text) > 0",
+                               mode="quarantine")
+        t.upsert(spark.createDataFrame(
+            [("a", 0, "user", "ok", ts0), ("b", 0, "user", "", ts0),
+             ("c", 0, "user", "", ts0)], ROWS))
+        return t
+
+    t1 = mk("t1")
+    t1.drop_check_constraint("text_present")
+    out = t1.requeue_quarantined()
+    a_ok = (out["rows_requeued"] == 2 and out["rows_applied"] == 2
+            and t1.quarantined().count() == 0
+            and set(t1.snapshot().toPandas()["conv_id"]) == {"a", "b", "c"}
+            and t1.requeue_quarantined() == {"rows_requeued": 0,
+                                             "batches_purged": 0})
+
+    t2 = mk("t2")
+    t2.drop_check_constraint("text_present")
+    t2.upsert(spark.createDataFrame(
+        [("b", 0, "user", "newer", dt.datetime(2027, 3, 2))], ROWS))
+    out2 = t2.requeue_quarantined()
+    snap = {r["conv_id"]: r["text"]
+            for _, r in t2.snapshot().toPandas().iterrows()}
+    b_ok = (out2["conflicts_lww_lost"] >= 1 and snap["b"] == "newer"
+            and snap["c"] == "")
+
+    t3 = mk("t3")
+    n0 = t3.snapshot().count()
+    out3 = t3.requeue_quarantined()
+    c_ok = (out3["rows_requarantined"] == 2 and out3["rows_applied"] == 0
+            and t3.snapshot().count() == n0
+            and t3.quarantined().count() == 2)
+
+    return spark.createDataFrame(
+        [(bool(a_ok), bool(b_ok), bool(c_ok))],
+        "requeue_applies_and_purges boolean, "
+        "lww_guard_protects_newer boolean, "
+        "still_violating_routes_back boolean")

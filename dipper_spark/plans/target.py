@@ -2816,7 +2816,10 @@ class LocalCowTable:
         when nothing was ever quarantined."""
         base = os.path.join(self.root, DEAD_LETTER_DIR, "constraints")
         has_batches = os.path.isdir(base) and any(
-            d.startswith("scope=") for d in os.listdir(base))
+            d.startswith("scope=")
+            and any(b.startswith("batch=")
+                    for b in os.listdir(os.path.join(base, d)))
+            for d in os.listdir(base))
         if not has_batches:
             man = self._load()
             fields = ([T.StructType.fromJson(man["schema"])[c]
@@ -2831,6 +2834,64 @@ class LocalCowTable:
         # mergeSchema: quarantine batches written before an ADD-column
         # evolution lack the new column — same reasoning as changefeed()
         return self.spark.read.option("mergeSchema", "true").parquet(base)
+
+    def requeue_quarantined(self, scope: str | None = None,
+                            purge: bool = True) -> dict:
+        """Re-apply constraint-quarantined rows after the cause is
+        fixed (constraint dropped/relaxed, or quarantine was judged
+        wrong) — the operator workflow the dead-letter sink exists
+        for.  Each quarantined row kept its original (ts, lsn)
+        identity, so the requeue is just an upsert with the ORIGINAL
+        ordering tuple: the strict merge guard means a key that
+        received a NEWER version since quarantine is left alone (the
+        requeued row lost the LWW race it would have lost live), and
+        re-running a requeue is a no-op.  Rows that still violate an
+        active constraint behave exactly like any incoming batch —
+        enforce raises (nothing applied, nothing purged), quarantine
+        routes them right back.  `purge=True` removes the drained
+        quarantine dirs afterwards (only on full success)."""
+        q = self.quarantined()
+        if scope is not None:
+            # quarantine dirs are partitioned by the scope TAG
+            q = q.filter(F.col("scope") == self._scope_tag(scope))
+        rows = q.count()
+        if rows == 0:
+            return {"rows_requeued": 0, "batches_purged": 0}
+        # snapshot the batch dirs being DRAINED before applying: a
+        # still-active quarantine constraint re-routes rows into a NEW
+        # batch dir during the upsert, which purge must not touch
+        base = os.path.join(self.root, DEAD_LETTER_DIR, "constraints")
+        drained: list[str] = []
+        for sd in sorted(os.listdir(base)) if os.path.isdir(base) else []:
+            if not sd.startswith("scope="):
+                continue
+            if scope is not None and sd != f"scope={self._scope_tag(scope)}":
+                continue
+            sdir = os.path.join(base, sd)
+            drained += [os.path.join(sdir, bd) for bd in sorted(os.listdir(sdir))
+                        if bd.startswith("batch=")]
+        # `ts` (data column) and `_op_ts` (ordering tuple) are equal by
+        # construction on quarantined rows — re-emit ts from _op_ts so
+        # the requeue carries the ORIGINAL LWW identity
+        data_cols = [c for c in q.columns
+                     if c not in ("ts", "_op_ts", "_lsn", "scope", "batch")]
+        stats = self.upsert(q.select(
+            *data_cols,
+            F.col("_op_ts").alias("ts"), F.col("_lsn").alias("lsn")))
+        purged = 0
+        if purge:
+            with self._commit_lock():
+                for bd in drained:
+                    shutil.rmtree(bd, ignore_errors=True)
+                    purged += 1
+                for sd in (os.listdir(base) if os.path.isdir(base) else []):
+                    sdir = os.path.join(base, sd)
+                    if sd.startswith("scope=") and not os.listdir(sdir):
+                        shutil.rmtree(sdir, ignore_errors=True)
+        return {"rows_requeued": rows, "batches_purged": purged,
+                "rows_applied": stats.rows_applied,
+                "conflicts_lww_lost": stats.conflicts,
+                "rows_requarantined": stats.rows_quarantined}
 
     def vacuum(self, ttl_seconds: int = 3600) -> dict:
         """Sweep crash debris older than `ttl_seconds` (Delta VACUUM /

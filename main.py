@@ -236,6 +236,15 @@ def main() -> None:
                                         " / Puffin shape)")
     an.add_argument("--table", required=True)
 
+    rq = sub.add_parser("requeue", help="re-apply constraint-quarantined "
+                                        "rows with their ORIGINAL (ts,lsn) "
+                                        "after the cause is fixed; LWW guard "
+                                        "protects newer data")
+    rq.add_argument("--table", required=True)
+    rq.add_argument("--scope", default=None)
+    rq.add_argument("--keep", action="store_true",
+                    help="keep the drained quarantine dirs (default purges)")
+
     fs = sub.add_parser("fsck", help="table integrity check: manifest "
                                      "invariants (metadata-only), --data "
                                      "adds one key-scan proving bucket "
@@ -570,6 +579,12 @@ def main() -> None:
         from dipper_spark.plans.target import LocalCowTable
 
         print(json.dumps(LocalCowTable(spark, args.table).compute_stats()))
+    elif args.cmd == "requeue":
+        from dipper_spark.plans.target import LocalCowTable
+
+        out = LocalCowTable(spark, args.table).requeue_quarantined(
+            scope=args.scope, purge=not args.keep)
+        print(json.dumps(out))
     elif args.cmd == "fsck":
         from dipper_spark.plans.target import LocalCowTable
 
