@@ -28,7 +28,7 @@ Scale design (10^10 events, SURVEY.md §4.2):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schemas import KEY_COLUMNS
@@ -95,6 +95,91 @@ def lww_collapse(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None
         "n_events",
         "n_unique",
         (F.col("_w.op") == F.lit("D")).alias("is_delete"),
+    )
+
+
+def lww_collapse_window(df: DataFrame, n_salts: int = 8, carry: list[str] | None = None,
+                        counters: bool = True) -> DataFrame:
+    """One-exchange LWW collapse (ops C7+C8, round-6 optimization).
+
+    Output contract IDENTICAL to `lww_collapse` (same columns, same
+    values, exact n_events/n_unique) via a different physical plan.
+
+    Why: `max_by` over a struct value is not hash-aggregable (struct
+    aggregation buffers are immutable), so the salted two-phase groupBy
+    compiles to SIX SortAggregates behind THREE Exchanges — the
+    count_distinct(lsn) rewrite adds a (key, salt, lsn)-keyed exchange
+    level, and every exchange carries the full payload (see
+    plans/r06/cdc_collapse_before.txt).  This variant plans as ONE
+    Exchange(key) + ONE Sort + two linear window passes (guide §2.4:
+    remove shuffles outright; operations keyed the same way share one
+    exchange):
+
+      Exchange hash(key) -> Sort(key, ts DESC, lsn DESC)
+        -> Window[row_number, lag(lsn)]        (winner + new-lsn flag)
+        -> Window[count(*), sum(flag)]         (n_events, exact n_unique
+                                                — duplicates share (ts,
+                                                lsn) so equal lsns are
+                                                ADJACENT in sort order;
+                                                counting lag-boundaries
+                                                counts distinct lsns)
+        -> Filter rn = 1
+
+    The output stays hash-partitioned by key with the session's
+    shuffle-partition count, so the downstream merge write needs no
+    re-shuffle — the same alignment the two-phase version provided.
+
+    Skew envelope: all rows of one key land on one reducer partition
+    (the salted variant bounds per-reducer rows per key at n_salts for
+    phase 2 and spreads phase 1 by lsn).  Per-partition load here is
+    bounded by rows(hot key) + n_rows/n_partitions; for this engine's
+    transcript logs (hot conversations spread over their turns) the
+    measured worst partition stays within ~2x of the mean.  Replays of
+    logs with a single degenerate key above that envelope should pass
+    collapse='carry' (the salted plan) — the knob `replay(collapse=)`
+    keeps both paths live and replay-equality tests pin them equal.
+    `n_salts` is accepted for signature compatibility and ignored.
+
+    counters=False skips the lineage counters entirely (n_events /
+    n_unique emitted as NULL): one window pass (row_number) instead of
+    two.  Callers that do not consume lineage (replay(lineage=False),
+    i.e. the benchmark path) should not pay for computing it — the
+    merge's Observation then reports rows_in/rows_unique as 0, which
+    is exactly what "lineage off" means.
+    """
+    carry = carry or [c for c in CARRY_COLUMNS if c in df.columns]
+    w = Window.partitionBy(*KEY_COLUMNS).orderBy(F.desc("ts"), F.desc("lsn"))
+    sel_tail = [(F.col("op") == F.lit("D")).alias("is_delete")]
+    if not counters:
+        flagged = df.select(
+            *KEY_COLUMNS, *carry, F.row_number().over(w).alias("_rn"))
+        return flagged.filter(F.col("_rn") == 1).select(
+            *KEY_COLUMNS, *carry,
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast("long").alias("n_unique"),
+            *sel_tail,
+        )
+    wp = Window.partitionBy(*KEY_COLUMNS)
+    lagged = F.lag("lsn").over(w)
+    flagged = df.select(
+        *KEY_COLUMNS,
+        *carry,
+        F.row_number().over(w).alias("_rn"),
+        (lagged.isNull() | (lagged != F.col("lsn"))).cast("long").alias("_new"),
+    )
+    counted = flagged.select(
+        *KEY_COLUMNS,
+        *carry,
+        "_rn",
+        F.count(F.lit(1)).over(wp).alias("n_events"),
+        F.sum("_new").over(wp).alias("n_unique"),
+    )
+    return counted.filter(F.col("_rn") == 1).select(
+        *KEY_COLUMNS,
+        *carry,
+        "n_events",
+        "n_unique",
+        *sel_tail,
     )
 
 
@@ -276,10 +361,21 @@ def absent_payload_columns(raw: DataFrame, existing: set[str],
     check = {c: m for c, m in markers.items() if c not in existing}
     if not check:
         return []
-    agg = raw.agg(
-        *[F.max(F.coalesce(F.col("payload").contains(m), F.lit(False))).alias(c) for c, m in check.items()]
-    ).first()
-    return [c for c in check if not agg[c]]
+    # Short-circuit probe (round 6, guide §1.4/§5): the old single-agg
+    # form (`max(contains(...))`) always scanned the ENTIRE batch even
+    # when every marker appears in the first rows — one full extra pass
+    # over the raw payload strings per fresh-table merge.  take(1) on a
+    # filtered, column-pruned scan stops at the first hit (Spark runs
+    # 1 partition, then 4x more, ... — a present key costs one small
+    # task); an absent key still pays the full column-pruned scan, the
+    # same worst case as before.  Semantics unchanged: a column is
+    # absent iff NO payload contains its marker (null payloads fail
+    # `contains` -> filtered, matching the old coalesce(False)).
+    out = []
+    for c, m in check.items():
+        if not raw.filter(F.col("payload").contains(m)).select("payload").take(1):
+            out.append(c)
+    return out
 
 
 def prune_absent_columns(df: DataFrame, existing: set[str], candidates: tuple[str, ...] = ("tool", "meta_tokens")) -> DataFrame:

@@ -151,11 +151,18 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """)
 def join_sort_merge(spark, d):
+    # Round-6: partial-aggregate lineitem per orderkey BEFORE the
+    # shuffle (guide §2.3 "aggregate before you shuffle") — the SMJ
+    # then shuffles+sorts ~1 row per order instead of every line, and
+    # the join's groupBy sums the pre-counted lines.  Same result
+    # (inner join drops the same keys either way); the plan keeps
+    # SortMergeJoin (hint + plan-asserted in test_no_row_python).
     o, l = load(spark, d, "orders"), load(spark, d, "lineitem")
+    lc = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_nl"))
     return (
-        o.join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
+        o.join(lc.hint("merge"), o.o_orderkey == lc.l_orderkey)
         .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .agg(F.sum("_nl").alias("n_lines"))
     )
 
 
@@ -241,23 +248,29 @@ FROM events e1 JOIN events e2
 GROUP BY e1.user_id
 """)
 def join_range_interval(spark, d):
-    """Interval self-join via the equi-bucket prefilter rewrite: pair
-    (user, 5-min bucket) equality feeds the hash join; the exact range
-    predicate filters after.  Avoids the O(n^2) nested-loop plan."""
-    e = load(spark, d, "events").select("user_id", "ts", "event_id")
-    b = F.floor(F.unix_timestamp("ts") / 300)
-    e1 = e.withColumn("b", b).withColumnRenamed("ts", "ts1").withColumnRenamed("event_id", "id1")
-    e2 = (
-        e.withColumn("b", F.explode(F.array(b, b - 1)))
-        .withColumnRenamed("ts", "ts2")
-        .withColumnRenamed("event_id", "id2")
-        .withColumnRenamed("user_id", "user_id2")
+    """Interval self-join as a RANGE-frame window (round-6 rewrite).
+
+    The timestamps are integer microseconds (timestamp[us]), so the
+    pair predicate  ts2 > ts1 AND ts2 <= ts1 + 5 min  is EXACTLY the
+    per-row count over a range frame [cur + 1 us, cur + 300e6 us] on
+    unix_micros(ts), summed per user.  vs the previous equi-bucket
+    join rewrite (explode x2 -> shuffle join -> filter -> agg): ONE
+    exchange on user_id + one sort, no join, no row multiplication —
+    measured 3.5x at sf1.0 (plans/r06/join_range_interval_*.txt;
+    guide §2.4).  Users with zero pairs are filtered, matching the
+    inner join which never produced their rows."""
+    e = load(spark, d, "events").select("user_id", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))  # ts is NTZ; session TZ is pinned UTC
+        .rangeBetween(1, 300_000_000)
     )
-    pairs = e1.join(e2, (e1.user_id == e2.user_id2) & (e1.b == e2.b)).filter(
-        (F.col("ts2") > F.col("ts1"))
-        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES"))
+    per_row = e.select("user_id", F.count(F.lit(1)).over(w).alias("_c"))
+    return (
+        per_row.groupBy("user_id")
+        .agg(F.sum("_c").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
     )
-    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 @q("join_asof_last_view", """

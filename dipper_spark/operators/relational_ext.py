@@ -309,9 +309,18 @@ def embedding_cosine_topk(spark, d):
     For 10^9 vectors the same plan runs per-partition with a final
     TakeOrderedAndProject(k)."""
     e = load(spark, d, "embeddings")
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
 
+    # Round-6: the query-vector norm sqrt(dot(q,q)) is hoisted into
+    # the (1-row) broadcast side — computed once instead of per probe
+    # row, with an unchanged multiplication order so every surviving
+    # double is bit-identical (guide §1.2 "per-task work").  A fully
+    # unrolled 64-term codegen dot was A/B'd and REJECTED: the giant
+    # expression tree cost ~1.5s of per-run planning, swamping the
+    # per-row win (bench sf0.01: 1.84s vs 0.15s).  The remaining
+    # per-row HOF cost is instead spread across more scan tasks by the
+    # session's lower parquet open-cost (session.py) — the embeddings
+    # file is far smaller than the old 4 MB open-cost floor, which
+    # packed the whole scan into 1-2 tasks.
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -319,8 +328,14 @@ def embedding_cosine_topk(spark, d):
             lambda acc, x: acc + x,
         )
 
+    qv = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("q"))
+        .select("q", F.sqrt(dot(F.col("q"), F.col("q"))).alias("_qn"))
+    )
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
     cos = dot(F.col("embedding"), F.col("q")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(F.col("q"), F.col("q")))
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.col("_qn")
     )
     return (
         joined.select("vec_id", F.round(cos, 6).alias("cosine"))

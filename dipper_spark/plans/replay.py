@@ -28,6 +28,7 @@ from ..operators.cdc import (
     lww_collapse,
     lww_collapse_dictkey,
     lww_collapse_slim,
+    lww_collapse_window,
     normalize_winner_text,
 )
 from ..schemas import CHANGELOG_SCHEMA
@@ -47,7 +48,7 @@ def replay(
     n_buckets: int = 32,
     chunk_lsn: int | None = None,
     lineage: bool = True,
-    collapse: str = "carry",
+    collapse: str = "window",
     watermark_delay: str = "10 minutes",
     dead_letter: bool = False,
     changefeed: bool = False,
@@ -56,14 +57,20 @@ def replay(
 ) -> tuple[LocalCowTable, list[MergeStats]]:
     """Replay the full log; returns (table, per-batch merge stats).
 
-    collapse='carry' (default) pushes payloads through the two collapse
-    shuffles in a single scan — measured fastest for transcript-width
-    texts (tens of bytes, barely wider than the key tuple).
-    'slim' shuffles only (key, ts, lsn) tuples and semi-joins winner
-    payloads back (operators.cdc.lww_collapse_slim) — the choice for
-    wide payloads, where shuffle bytes dominate.  'dictkey' hashes the
-    phase-1 group key to a 128-bit pair (operators.cdc
-    .lww_collapse_dictkey) — measured-wash A/B variant."""
+    collapse='window' (default since round 6) runs the one-exchange
+    window collapse (operators.cdc.lww_collapse_window): identical
+    output to the salted two-phase groupBy via Exchange(key) + Sort +
+    two linear window passes instead of THREE exchanges + six
+    SortAggregates (max_by over a struct value is not hash-aggregable
+    and count_distinct adds an exchange level — see
+    plans/r06/cdc_collapse_{before,after}.txt and OPTIMIZATION_r06.md
+    for the A/B numbers).  'carry' is the salted two-phase plan — use
+    it for logs with a single degenerate hot key beyond the window
+    variant's skew envelope (all rows of one key land on one reducer
+    there).  'slim' shuffles only (key, ts, lsn) tuples and semi-joins
+    winner payloads back — the choice for KB-wide payloads.  'dictkey'
+    hashes the phase-1 group key to a 128-bit pair — measured-wash A/B
+    variant."""
     import uuid as _uuid
 
     from ..streaming.ingest import parse_delay
@@ -81,8 +88,14 @@ def replay(
         # shuffles and the merge join (~15 of ~70 payload bytes per
         # record at transcript widths).  Trim before the collapse.
         decoded = decoded.drop("source", "source_offset")
-    do_collapse = {"slim": lww_collapse_slim, "dictkey": lww_collapse_dictkey}.get(
-        collapse, lww_collapse)
+    if collapse == "window":
+        # lineage off => nobody reads n_events/n_unique: skip the
+        # counting window pass (operators.cdc.lww_collapse_window).
+        def do_collapse(df, n_salts):
+            return lww_collapse_window(df, n_salts=n_salts, counters=lineage)
+    else:
+        do_collapse = {"slim": lww_collapse_slim,
+                       "dictkey": lww_collapse_dictkey}.get(collapse, lww_collapse)
     delay = parse_delay(watermark_delay)
     max_ts = None
 

@@ -42,6 +42,15 @@ def build_session(
         # split parquet scans below one-file granularity (WAL chunk files
         # carry multiple row groups)
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # Round 6: the default 4 MB open-cost floors split size at 4 MB,
+        # so a table smaller than cores x 4 MB scans on a handful of
+        # tasks — CPU-heavy per-row work over small-ish files (the
+        # embeddings cosine kernel) then serializes.  1 MB still
+        # penalizes tiny-file packing (guide §6) while letting small
+        # hot tables use the full parallelism; parameterised like every
+        # scale-dependent knob here.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("DIPPER_OPEN_COST_BYTES", str(1 << 20)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: vectorized reader on (default, pinned explicitly)
