@@ -17,7 +17,12 @@ Two tiers, each returning FINDING rows (empty == healthy):
     from the manifest, the true bucket recomputed with the engine's
     own bucket expression), and live keys are globally unique.  Cost
     is a key-columns-only scan; at 100 TB you run it bucket-sampled
-    or after an incident, not nightly.
+    or after an incident, not nightly.  The data tier is suppressed
+    (with an explicit `data_tier_skipped` finding) only when ERROR-
+    severity metadata findings invalidate the scan; warn-level rows
+    never mask it.  The duplicate-live-keys claim covers delta-free
+    buckets only — read-time LWW resolution would collapse genuine
+    duplicates in delta-laden buckets before counting.
 
 Every finding names (check, severity, target, detail).  fsck never
 mutates anything — repairs route through the existing verbs (vacuum,
@@ -52,7 +57,16 @@ def fsck(table, data: bool = False,
     nb = man.get("n_buckets") or 0
     seen: dict[str, str] = {}
     for b, ents in man.get("buckets", {}).items():
-        if not (0 <= int(b) < nb):
+        # ADVICE r5: a corrupt non-numeric bucket key must surface as a
+        # typed finding, not crash the checker on exactly the
+        # corruption class it exists to report.
+        try:
+            b_ok = 0 <= int(b) < nb
+        except (TypeError, ValueError):
+            finding("bucket_id_unparseable", "error", f"bucket {b!r}",
+                    "non-numeric bucket key in manifest")
+            b_ok = True  # already reported as unparseable
+        if not b_ok:
             finding("bucket_id_range", "error", f"bucket {b}",
                     f"bucket id outside layout 0..{nb - 1}")
         for e in ents:
@@ -83,13 +97,24 @@ def fsck(table, data: bool = False,
     per_scope: dict[str, set] = {}
     for e in man.get("ledger", []):
         s = e.get("scope", "default")
-        bid = int(e["batch_id"])
+        try:
+            bid = int(e["batch_id"])
+        except (TypeError, ValueError, KeyError):
+            finding("ledger_batch_unparseable", "error", s,
+                    f"ledger entry with non-numeric batch_id "
+                    f"{e.get('batch_id')!r}")
+            continue
         if bid in per_scope.setdefault(s, set()):
             finding("ledger_duplicate_batch", "error", f"{s}/{bid}",
                     "same (scope, batch_id) committed twice")
         per_scope[s].add(bid)
     for s, ids in per_scope.items():
-        alloc = int(man.get("scope_seq", {}).get(s, 0))
+        try:
+            alloc = int(man.get("scope_seq", {}).get(s, 0))
+        except (TypeError, ValueError):
+            finding("scope_seq_unparseable", "error", s,
+                    f"non-numeric scope_seq {man.get('scope_seq', {}).get(s)!r}")
+            continue
         if alloc and max(ids) >= alloc:
             # warn, not error: explicit-id writers (streaming epoch ids)
             # legally commit ids the allocator never issued; the engine's
@@ -121,23 +146,47 @@ def fsck(table, data: bool = False,
                             "would misbehave)")
 
     # ---- data tier ----
-    if data and man.get("schema") is not None and not out:
+    # ADVICE r5 (medium): gate the scan only on ERROR-severity metadata
+    # findings (a scan over missing/double-claimed files would prove
+    # nothing); warn-level findings (stats_dangling, scope_seq_behind)
+    # must not silently mask a requested corruption scan.  When the
+    # tier IS suppressed, say so with an explicit finding instead of
+    # returning metadata rows that look like a completed data check.
+    if data and man.get("schema") is not None:
+        meta_errors = [f for f in out if f[1] == "error"]
+        if meta_errors:
+            finding("data_tier_skipped", "warn", "table",
+                    f"data tier not run: {len(meta_errors)} error-severity "
+                    "metadata finding(s) invalidate the scan")
+            return out
         if buckets is not None:
             sel = {str(int(b)) for b in buckets}
             seen = {rel: b for rel, b in seen.items() if b in sel}
         schema = T.StructType.fromJson(man["schema"])
-        key_rows = (table._read_resolved(
-                        man, schema,
-                        [int(b) for b in sorted(sel, key=int)]
-                        if buckets is not None else None)
-                    .select("conv_id", "turn_idx", "_deleted"))
-        live = key_rows.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        total, distinct = live.agg(
-            F.count(F.lit(1)), F.count_distinct("conv_id", "turn_idx")
-        ).first()
-        if total != distinct:
-            finding("duplicate_live_keys", "error", "table",
-                    f"{total - distinct} duplicate live (conv_id, turn_idx)")
+        # ADVICE r5: the duplicate-live-keys check reads the RESOLVED
+        # table, and LWW resolution collapses to one row per key
+        # wherever outstanding MoR deltas exist — genuine duplicates in
+        # delta-laden buckets would be collapsed before counting.  So
+        # the check's CLAIM is restricted to delta-free buckets (there
+        # the resolved read IS the raw base scan, nothing is collapsed);
+        # delta debt itself is routine MoR operation already surfaced
+        # by the advisor, and `compact --minor` re-arms the check.
+        # Bucket-locality of keys keeps the claim valid under any
+        # bucket subset.
+        delta_bkts = {b for b, ents in man.get("deltas", {}).items() if ents}
+        dup_bkts = [int(b) for b in man.get("buckets", {})
+                    if b not in delta_bkts
+                    and (buckets is None or b in sel)]
+        if dup_bkts:
+            key_rows = (table._read_resolved(man, schema, sorted(dup_bkts))
+                        .select("conv_id", "turn_idx", "_deleted"))
+            live = key_rows.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            total, distinct = live.agg(
+                F.count(F.lit(1)), F.count_distinct("conv_id", "turn_idx")
+            ).first()
+            if total != distinct:
+                finding("duplicate_live_keys", "error", "table",
+                        f"{total - distinct} duplicate live (conv_id, turn_idx)")
         # physical placement: recompute each row's bucket and compare
         # with the bucket its file is claimed under — ONE key-columns
         # scan of all files plus a broadcast basename->bucket map (data

@@ -46,6 +46,7 @@ Scale notes (10^10 events / 100 TB):
 from __future__ import annotations
 
 import base64
+import calendar
 import fcntl
 import hashlib
 import json
@@ -1519,8 +1520,12 @@ class LocalCowTable:
                         with open(p) as f:
                             iso = json.load(f).get("committed_at")
                         if iso:
-                            ts = time.mktime(time.strptime(
-                                iso, "%Y-%m-%dT%H:%M:%SZ")) - time.timezone
+                            # ADVICE r5: timegm is timezone/DST-free;
+                            # mktime applied local DST (tm_isdst=-1) and
+                            # could age versions by an hour, expiring
+                            # them earlier than the policy allows.
+                            ts = calendar.timegm(time.strptime(
+                                iso, "%Y-%m-%dT%H:%M:%SZ"))
                     except (OSError, ValueError):
                         pass
                     if ts is None:
@@ -3259,7 +3264,8 @@ class LocalCowTable:
                    if "bloom" not in stats0.get(r, {})
                    or "live_rows" not in stats0.get(r, {})]
         if not targets:
-            return {"files": len(rels), "computed": 0, "saturated": 0}
+            return {"files": len(rels), "computed": 0, "saturated": 0,
+                    "unmapped": 0}
 
         import pandas as pd  # noqa: F811 — executor-side builder below
 
@@ -3281,13 +3287,22 @@ class LocalCowTable:
         root_abs = os.path.realpath(self.root)
         by_rel: dict[str, tuple[dict | None, int]] = {}
         for r in rows:
-            p = r["f"]
-            if p.startswith("file:"):
-                p = p[5:]
-                while p.startswith("//"):
-                    p = p[1:]
+            # ADVICE r5: input_file_name() returns a URI — percent-
+            # encoded (spaces etc.) — so decode it properly before
+            # relpath, or tables under encodable roots silently drop
+            # every stat and analyze never converges.
+            from urllib.parse import unquote, urlparse
+            u = urlparse(r["f"])
+            p = unquote(u.path) if u.scheme else unquote(r["f"])
             by_rel[os.path.relpath(os.path.realpath(p), root_abs)] = (
                 json.loads(r["bloom"]), int(r["live"]))
+
+        # ADVICE r5: count scanned files whose executor path failed to
+        # map back onto a manifest rel instead of dropping them
+        # silently — a nonzero `unmapped` means analyze re-reads those
+        # files every run and coverage never converges.
+        target_set = set(targets)
+        unmapped = sum(1 for rel in by_rel if rel not in target_set)
 
         computed = saturated = 0
         with self._commit_lock():
@@ -3320,7 +3335,7 @@ class LocalCowTable:
                 cur["version"] += 1
                 self._write_manifest(cur)
         return {"files": len(rels), "computed": computed,
-                "saturated": saturated}
+                "saturated": saturated, "unmapped": unmapped}
 
     def _prune_man_by_conv(self, man: dict, conv_id: str) -> dict:
         """Manifest copy whose file lists keep only files whose
