@@ -151,18 +151,19 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """)
 def join_sort_merge(spark, d):
-    # Round-6: partial-aggregate lineitem per orderkey BEFORE the
-    # shuffle (guide §2.3 "aggregate before you shuffle") — the SMJ
-    # then shuffles+sorts ~1 row per order instead of every line, and
-    # the join's groupBy sums the pre-counted lines.  Same result
-    # (inner join drops the same keys either way); the plan keeps
-    # SortMergeJoin (hint + plan-asserted in test_no_row_python).
+    # Round-6 MEASURED NEGATIVE: pre-aggregating lineitem per orderkey
+    # before the shuffle ("aggregate before you shuffle") was A/B'd
+    # and REJECTED — under this query's column pruning the SMJ shuffles
+    # only the 8-byte join key (radix-sortable longs), so the pre-agg's
+    # 6M-row hash build costs more than it saves (interleaved best-of-4
+    # at sf1.0: pre-agg 0.946s vs direct 0.772s).  The rewrite pays off
+    # only when the join carries wide payload columns; here it carried
+    # none.  Kept as the direct SMJ.
     o, l = load(spark, d, "orders"), load(spark, d, "lineitem")
-    lc = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_nl"))
     return (
-        o.join(lc.hint("merge"), o.o_orderkey == lc.l_orderkey)
+        o.join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
         .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.sum("_nl").alias("n_lines"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
     )
 
 

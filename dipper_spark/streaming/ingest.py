@@ -109,9 +109,10 @@ def make_batch_applier(table: LocalCowTable, n_salts: int = 8,
     import uuid as _uuid
 
     stats_log: list[MergeStats] = []
-    from ..operators.cdc import lww_collapse_dictkey
+    from ..operators.cdc import lww_collapse_dictkey, lww_collapse_window
 
-    do_collapse = {"slim": lww_collapse_slim, "dictkey": lww_collapse_dictkey}.get(
+    do_collapse = {"slim": lww_collapse_slim, "dictkey": lww_collapse_dictkey,
+                   "window": lww_collapse_window, "carry": lww_collapse}.get(
         collapse, lww_collapse)
     delay = parse_delay(watermark_delay)
     state = {"max_ts": None}
@@ -173,7 +174,13 @@ def ingest(
     backfill A/B and the r4 220-micro-batch interleaved soak A/B
     (slim/carry = 1.188 per-batch median — BENCH/SOAK.md) both favor
     carry at transcript payload widths; 'slim' stays available for
-    genuinely wide (KB+) payloads.
+    genuinely wide (KB+) payloads.  'window' (the round-6 one-exchange
+    collapse that wins 2x on BATCH replays) was interleave-A/B'd here
+    too and is a WASH at micro-batch scale (20-batch runs: window
+    37.1s vs carry 38.9s, per-batch medians 1466 vs 1554 ms, final
+    state hash-equal) — micro-batch wall is dominated by the merge
+    join + CoW write, not the collapse — so the soak-pinned carry
+    default stands for streaming.
 
     source='file' tails via Spark's file source (op C1);
     source='binlog' tails via the custom DataSource (op C2, own

@@ -100,8 +100,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--n-conv", type=int, default=500_000)
     ap.add_argument("--pairs", type=str, default="1:4,2:8,8:32")
-    ap.add_argument("--collapse", type=str, default="carry", choices=["carry", "slim", "dictkey"])
-    ap.add_argument("--ab", type=str, default=None, choices=["slim", "dictkey"],
+    ap.add_argument("--collapse", type=str, default="carry",
+                    choices=["carry", "slim", "dictkey", "window"])
+    ap.add_argument("--ab", type=str, default=None,
+                    choices=["slim", "dictkey", "window"],
                     help="A/B mode: run BOTH --collapse and this variant per round, "
                          "interleaved on the same generated log (arms share every "
                          "interference window); implies --no-md")
