@@ -330,12 +330,28 @@ def normalize_winner_text(df: DataFrame) -> DataFrame:
     """Apply the vectorized text normalization (op C3's UDF) to the
     collapsed winners.  Post-collapse placement: normalization cannot
     change which event wins — ordering is (ts, lsn) — so only the <=
-    one-row-per-key output crosses the Python boundary."""
+    one-row-per-key output crosses the Python boundary.
+
+    Round 6 (guide §4.1: control how many BYTES cross the boundary):
+    a string whose every char is printable non-space ASCII [!-~] is a
+    fixed point of NFC (ASCII is normalization-inert) AND of strip()
+    (it contains no whitespace anywhere, and Python's strip only
+    removes leading/trailing whitespace — note \\x1c-\\x1f also count
+    as whitespace in Python, all below \\x21).  Those rows — the
+    majority at transcript widths — are nulled BEFORE the UDF input
+    expression, so they cross Arrow as validity bits instead of string
+    bytes and skip the Python work entirely; coalesce restores the
+    original afterwards.  Bit-exact by construction; replay-equality
+    and the DuckDB gate pin it."""
     from ..functions.normalize import nfc_strip
 
     if "text" not in df.columns:
         return df
-    return df.withColumn("text", nfc_strip(F.col("text")))
+    needs_work = ~F.col("text").rlike(r"^[\x21-\x7e]+$")
+    return df.withColumn(
+        "text",
+        F.coalesce(nfc_strip(F.when(needs_work, F.col("text"))), F.col("text")),
+    )
 
 
 # Key-position markers ("<key>":) — a bare '"tool"' would false-match
