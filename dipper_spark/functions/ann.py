@@ -63,6 +63,41 @@ def signature_bits(df: DataFrame, vec_col: str, n_planes: int, dim: int,
     return df.withColumn("_bits", bits)
 
 
+def signature_bits_np(df: DataFrame, vec_col: str, n_planes: int, dim: int,
+                      seed: int = ANN_SEED) -> DataFrame:
+    """`signature_bits`, Arrow-batched (round 6, guide §4.2): one numpy
+    matmul per batch computes every plane's sign at once, vs n_planes
+    interpreted higher-order-function dots per row on the JVM path —
+    the dominant cost of the LSH index BUILD (the signature pass is a
+    one-off per corpus; per-query probing never runs this).
+
+    Used by the index-build tooling (tools/ann_bench.py).  The hashed
+    ANN contract queries keep the JVM `signature_bits`: BLAS changes
+    float summation order, and a dot that sits exactly on zero could
+    flip a sign bit — irrelevant for a build benchmark that measures
+    its own recall in-run, but not worth risking a value-checked
+    contract over."""
+    import pandas as pd
+
+    planes = np.asarray(_planes(n_planes, dim, seed), dtype=np.float64).T
+    from pyspark.sql import types as T
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("_bits", T.ArrayType(T.IntegerType()), False)])
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (v @ planes > 0).astype("int32")
+            out = pdf.copy()
+            out["_bits"] = list(bits)
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def _band_key(bits, band: int, rows: int):
     """Pack `rows` bits of one band into a single int key."""
     key = F.lit(0)
@@ -71,15 +106,20 @@ def _band_key(bits, band: int, rows: int):
     return key
 
 
-def band_rows(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
-    """(id, band, key) — one row per (vector, band)."""
+def band_rows(sigs: DataFrame, id_col: str, bands: int, rows: int,
+              keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *keep, band, key) — one row per (vector, band).  `keep`
+    carries extra columns (e.g. the vector itself) through the explode,
+    so an index build can lay the corpus out by (band, key) WITHOUT a
+    join back to the corpus (round 6: the old build joined the bare
+    (id, band, key) rows back by id — a full extra shuffle)."""
     entries = F.array(*[
         F.struct(F.lit(b).alias("band"), _band_key(F.col("_bits"), b, rows).alias("key"))
         for b in range(bands)
     ])
     return (
-        sigs.select(F.col(id_col).alias("id"), F.explode(entries).alias("e"))
-        .select("id", "e.band", "e.key")
+        sigs.select(F.col(id_col).alias("id"), *keep, F.explode(entries).alias("e"))
+        .select("id", *keep, "e.band", "e.key")
     )
 
 
@@ -139,6 +179,50 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, vec_col: str = "embeddin
         ))
     best = F.array_max(F.array(*entries))
     return corpus.select(F.col(id_col).alias("id"), best["c"].alias("cell"))
+
+
+def ivf_assign_np(corpus: DataFrame, centroids: DataFrame,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  keep_vec: bool = False) -> DataFrame:
+    """`ivf_assign`, Arrow-batched (round 6, guide §4.2): the nearest-
+    centroid argmax as one numpy matmul per batch, vs n_cells
+    interpreted literal-array dots per row — the dominant cost of the
+    IVF index BUILD.  keep_vec=True also carries the vector through,
+    so the build can write the cell-partitioned corpus without joining
+    the assignment back by id (one shuffle saved).
+
+    Index-build tooling only (tools/ann_bench.py); the hashed IVF
+    contract queries keep the JVM `ivf_assign` — same reasoning as
+    `signature_bits_np` (BLAS float order vs value-checked contracts).
+    Ties go to the first maximal cell (lowest cell id); `ivf_assign`
+    breaks them toward the highest — measure-zero on real vectors and
+    query-independent either way."""
+    import pandas as pd
+
+    rows = centroids.select(F.col("cell"), F.col(vec_col).alias("_c")).collect()
+    if not rows:
+        raise ValueError("ivf_assign_np: empty centroid frame")
+    c = np.asarray([r["_c"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    c = c / np.where(norms == 0.0, 1.0, norms)
+    cells = np.asarray([int(r["cell"]) for r in rows], dtype=np.int32)
+
+    schema = (f"id long, {vec_col} array<double>, cell int" if keep_vec
+              else "id long, cell int")
+
+    def gen(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            best = cells[np.argmax(v @ c.T, axis=1)]
+            out = {"id": pdf[id_col].to_numpy()}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            out["cell"] = best
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def sample_centroids(corpus: DataFrame, k: int, vec_col: str = "embedding",

@@ -122,11 +122,15 @@ def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
     n_planes = BANDS * ROWS
     t0 = time.monotonic()
     sig_path = os.path.join(work, "lsh_index")
+    # Round 6: signatures via the Arrow/numpy batch kernel (one matmul
+    # per batch vs 16 interpreted HOF dots per row), and the vector is
+    # carried THROUGH the band explode (keep=) so the bucket layout is
+    # written without the old join-back-to-corpus shuffle.
     csig = ann.band_rows(
-        ann.signature_bits(corpus, "embedding", n_planes, dim), "vec_id", BANDS, ROWS
+        ann.signature_bits_np(corpus, "embedding", n_planes, dim), "vec_id",
+        BANDS, ROWS, keep=("embedding",),
     )
-    (csig.join(corpus.withColumnsRenamed({"vec_id": "id"}), "id")
-     .repartition("band", "key")
+    (csig.repartition("band", "key")
      .write.mode("overwrite").partitionBy("band", "key").parquet(sig_path))
     res["lsh_build_wall_s"] = round(time.monotonic() - t0, 2)
 
@@ -162,9 +166,12 @@ def run_ann_scale(spark, n: int = 1_000_000, dim: int = 64, reps: int = 3,
     # ---- IVF: prewrite the corpus partitioned by nearest-centroid cell ----
     t0 = time.monotonic()
     cents = ann.sample_centroids(corpus, N_CELLS)
-    assign = ann.ivf_assign(corpus, cents)
+    # Round 6: Arrow/numpy assignment (one matmul per batch vs 64
+    # interpreted literal-array dots per row), carrying the vector so
+    # the cell layout writes without the assignment join.
+    assign = ann.ivf_assign_np(corpus, cents, keep_vec=True)
     ivf_path = os.path.join(work, "ivf_corpus")
-    (corpus.join(assign.withColumnsRenamed({"id": "vec_id"}), "vec_id")
+    (assign.withColumnsRenamed({"id": "vec_id"})
      .repartition("cell")  # one file per cell dir, not one per task
      .write.mode("overwrite").partitionBy("cell").parquet(ivf_path))
     res["ivf_build_wall_s"] = round(time.monotonic() - t0, 2)
