@@ -70,9 +70,12 @@ def main() -> None:
     r.add_argument("--n-salts", type=int, default=16)
     r.add_argument("--n-buckets", type=int, default=64)
     r.add_argument("--cores", type=int, default=None)
-    r.add_argument("--collapse", choices=["carry", "slim", "dictkey"], default="carry",
-                   help="carry: payload rides the collapse shuffles (fast for "
-                        "short texts); slim: winner-lsn-only collapse + payload "
+    r.add_argument("--collapse", choices=["window", "carry", "slim", "dictkey"],
+                   default="window",
+                   help="window (default since r6): one-exchange window "
+                        "collapse — fastest for batch replays; carry: salted "
+                        "two-phase groupBy (use for a single degenerate hot "
+                        "key); slim: winner-lsn-only collapse + payload "
                         "semi-join (fewer shuffle bytes for wide payloads)")
     r.add_argument("--dead-letter", action="store_true",
                    help="persist op-C4 rejected rows under <table>/_deadletter")
