@@ -423,10 +423,15 @@ def agg_approx_distinct(spark, d):
     is folded into the result as a boolean so the driver's exact hash
     can check it — the sketch value itself is engine-specific."""
     e = load(spark, d, "events")
+    # Round-6 correctness fix (pre-existing, surfaced by running the
+    # gate at sf0.1): the default HLL rsd (0.05) leaves no margin
+    # against the <=5% contract — at sf0.1's 1,500 distinct users the
+    # sketch's deterministic error exceeded it.  rsd=0.01 keeps the
+    # estimate well inside the asserted tolerance at every sf.
     return e.agg(
         F.countDistinct("user_id").alias("exact_users"),
         (
-            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            F.abs(F.approx_count_distinct("user_id", 0.01) - F.countDistinct("user_id"))
             <= 0.05 * F.countDistinct("user_id")
         ).alias("approx_ok"),
     )
@@ -494,8 +499,16 @@ SELECT event_id,
 FROM events
 """)
 def win_frame_range_1h(spark, d):
-    e = load(spark, d, "events").withColumn("_sec", F.unix_timestamp("ts"))
-    w = Window.partitionBy("user_id").orderBy("_sec").rangeBetween(-3600, 0)
+    # Round-6 correctness fix (pre-existing, surfaced by running the
+    # gate at sf0.1): unix_timestamp TRUNCATES to whole seconds while
+    # the oracle's epoch(ts) keeps the microsecond fraction, so pairs
+    # straddling the 3600 s boundary within a second disagreed.  Order
+    # by integer MICROseconds with the frame scaled to 3.6e9 us — the
+    # exact equivalent of the oracle's fractional-seconds range frame
+    # (timestamps are integer microseconds).
+    e = load(spark, d, "events").withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("_us").rangeBetween(-3_600_000_000, 0)
     return e.select("event_id", F.count(F.lit(1)).over(w).alias("n_last_hour"))
 
 
