@@ -32,6 +32,24 @@ def test_window_collapse_equals_salted(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_window_collapse_degenerate_hot_key(spark, tmp_path):
+    """Single-key skew: every extra event hammers one conversation.
+    Both variants (and the counter-free fast path) must agree — the
+    skew-envelope documentation in lww_collapse_window is about SPEED
+    in this regime, never about correctness."""
+    spec = ChangelogSpec(seed=9, n_conv=3, max_turns=1, extra_rate=800,
+                         hot_frac=1.0, dup_rate=0.2)
+    gen_changelog(str(tmp_path / "log"), spec)
+    a = _collapsed(lww_collapse, spark, str(tmp_path / "log"))
+    b = _collapsed(lww_collapse_window, spark, str(tmp_path / "log"))
+    pd.testing.assert_frame_equal(a, b)
+    nc = _collapsed(lambda df, n_salts: lww_collapse_window(df, counters=False),
+                    spark, str(tmp_path / "log"))
+    winners = [c for c in a.columns if c not in ("n_events", "n_unique")]
+    pd.testing.assert_frame_equal(a[winners], nc[winners])
+    assert nc["n_events"].isna().all() and nc["n_unique"].isna().all()
+
+
 def test_window_collapse_plan_single_exchange(spark, tmp_path):
     """The point of the variant: exactly one Exchange, no aggregate."""
     gen_changelog(str(tmp_path / "log"),
